@@ -1,0 +1,211 @@
+"""Regularized linear booster ("gblinear"), TPU-native.
+
+Replaces the xgboost native core the reference depends on (train.py:140-146:
+``{'booster': 'gblinear', 'base_score': 2, 'alpha': 0, 'lambda': 100,
+'eta': 0.01, 'objective': 'reg:linear'}``, 100 rounds). The README pins
+xgboost==0.7.post4 because eta semantics changed later; this implementation
+follows the 0.7 rule: per-round coordinate update
+
+    dw_j = eta * delta(G_j, H_j, w_j),   G_j = sum_i g_i x_ij + ...,
+    delta = elastic-net coordinate solution with L2 ``lambda`` / L1 ``alpha``,
+
+with squared-error gradients (g = pred - y, h = 1) and a bias update
+``db = -eta * sum(g) / (n + lambda_bias)`` before the feature sweep.
+
+xgboost's default "shotgun" updater races residual updates across threads and
+is nondeterministic; the TPU-native equivalent here is **deterministic block
+coordinate descent**: a ``lax.scan`` over feature blocks, Jacobi within a
+block (all per-feature deltas computed from the same residual via one MXU
+matmul ``X_blk @ r``), residual advanced once per block. ``block_size =
+n_features`` degenerates to pure Jacobi; small blocks approach sequential CD.
+
+Multi-host data parallelism: rows (genes) are sharded; per-feature gradient
+sums are ``psum`` reductions over the row shards (see
+``make_sharded_round_fn``), replacing the reference's per-tissue shell-loop
+scale-out (scripts/train_bootstrap.sh:4-7).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field, replace
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class GBLinearParams:
+    """Hyperparameters; defaults mirror the reference training CLI
+    (train.py:43-52)."""
+
+    eta: float = 0.01
+    reg_lambda: float = 100.0
+    reg_alpha: float = 0.0
+    reg_lambda_bias: float = 0.0
+    base_score: float = 2.0
+    num_round: int = 100
+    block_size: int = 512
+    early_stopping_rounds: int | None = None
+
+
+@dataclass
+class GBLinearModel:
+    """Trained model: prediction = base_score + bias + X @ weight."""
+
+    weight: np.ndarray
+    bias: float
+    base_score: float = 2.0
+    #: optional evaluation history {name: [rmse per round]}
+    eval_history: dict = field(default_factory=dict)
+    best_iteration: int | None = None
+
+    @property
+    def n_features(self) -> int:
+        return int(self.weight.shape[0])
+
+    def predict(self, X: np.ndarray) -> np.ndarray:
+        return predict_gblinear(self, X)
+
+
+def predict_gblinear(model: GBLinearModel, X) -> np.ndarray:
+    X = jnp.asarray(X, dtype=jnp.float32)
+    out = model.base_score + model.bias + X @ jnp.asarray(model.weight, dtype=jnp.float32)
+    return np.asarray(out, dtype=np.float32)
+
+
+def _coord_delta(g: jax.Array, h: jax.Array, w: jax.Array, lam: float, alpha: float) -> jax.Array:
+    """Elastic-net coordinate solution (xgboost CoordinateDelta semantics):
+    returns the unscaled weight delta; zero where the hessian vanishes."""
+    gl2 = g + lam * w
+    hl2 = h + lam
+    tmp = w - gl2 / hl2
+    pos = jnp.maximum(-(gl2 + alpha) / hl2, -w)
+    neg = jnp.minimum(-(gl2 - alpha) / hl2, -w)
+    delta = jnp.where(tmp >= 0, pos, neg)
+    return jnp.where(h < 1e-5, 0.0, delta)
+
+
+def _round_body(Xt_blocks, col_hess_blocks, hp: GBLinearParams, n_total, axis_name=None):
+    """Build one boosting round as a pure function of (w_blocks, bias, r)."""
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def one_round(w_blocks, bias, r):
+        # bias step (sum_hess = n for squared error)
+        sum_g = psum(jnp.sum(r))
+        db = hp.eta * (-sum_g / (n_total + hp.reg_lambda_bias))
+        bias = bias + db
+        r = r + db
+
+        def block_step(r, inputs):
+            Xb, wb, hb = inputs  # Xb: (B, n_local); hb: (B,) global col hessians
+            g = psum(Xb @ r)  # (B,) global gradient sums — MXU matmul + psum
+            dw = hp.eta * _coord_delta(g, hb, wb, hp.reg_lambda, hp.reg_alpha)
+            r = r + dw @ Xb
+            return r, wb + dw
+
+        r, w_blocks = jax.lax.scan(block_step, r, (Xt_blocks, w_blocks, col_hess_blocks))
+        return w_blocks, bias, r
+
+    return one_round
+
+
+def _pad_blocks(Xt: np.ndarray, block_size: int) -> tuple[np.ndarray, int]:
+    """(F, n) -> (n_blocks, B, n), zero-padding the feature axis."""
+    f, n = Xt.shape
+    n_blocks = -(-f // block_size)
+    if n_blocks * block_size != f:
+        Xt = np.concatenate([Xt, np.zeros((n_blocks * block_size - f, n), Xt.dtype)], axis=0)
+    return Xt.reshape(n_blocks, block_size, n), n_blocks
+
+
+def train_gblinear(
+    X,
+    y,
+    params: GBLinearParams | None = None,
+    *,
+    evals: list[tuple[np.ndarray, np.ndarray, str]] | None = None,
+    verbose: bool = False,
+) -> GBLinearModel:
+    """Train on (n, F) features / (n,) labels. Deterministic on any backend.
+
+    ``evals`` mirrors xgboost's watchlist: [(X_eval, y_eval, name), ...]; RMSE
+    is recorded per round, and if ``params.early_stopping_rounds`` is set the
+    **last** eval set controls early stopping (xgboost semantics). Note the
+    reference passes early_stopping_rounds inside the params dict where
+    xgboost ignores it (train.py:140-146), so the reference always runs the
+    full num_round — replicated by the default of None.
+    """
+    hp = params or GBLinearParams()
+    X = np.asarray(X, dtype=np.float32)
+    y = np.asarray(y, dtype=np.float32)
+    n, f = X.shape
+
+    Xt_blocks, _ = _pad_blocks(np.ascontiguousarray(X.T), hp.block_size)
+    col_hess = np.sum(Xt_blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
+
+    one_round = _round_body(jnp.asarray(Xt_blocks), jnp.asarray(col_hess), hp, float(n))
+    jit_round = jax.jit(one_round, donate_argnums=(0, 2))
+
+    w_blocks = jnp.zeros(Xt_blocks.shape[:2], jnp.float32)
+    bias = jnp.float32(0.0)
+    r = jnp.asarray(np.full(n, hp.base_score, np.float32) - y)
+
+    history: dict[str, list[float]] = {name: [] for *_unused, name in (evals or [])}
+    best_round, best_score, stale = None, np.inf, 0
+    snapshots: dict[int, tuple[np.ndarray, float]] = {}
+
+    for it in range(hp.num_round):
+        w_blocks, bias, r = jit_round(w_blocks, bias, r)
+        if evals:
+            w_now = np.asarray(w_blocks).reshape(-1)[:f]
+            b_now = float(bias)
+            for Xe, ye, name in evals:
+                pred = hp.base_score + b_now + np.asarray(Xe, np.float32) @ w_now
+                rmse = float(np.sqrt(np.mean((pred - np.asarray(ye, np.float32)) ** 2)))
+                history[name].append(rmse)
+                if verbose:
+                    print(f"[{it}]\t{name}-rmse:{rmse:.6f}")
+            if hp.early_stopping_rounds is not None:
+                score = history[evals[-1][2]][-1]
+                if score < best_score:
+                    best_score, best_round, stale = score, it, 0
+                    snapshots = {it: (w_now.copy(), b_now)}
+                else:
+                    stale += 1
+                    if stale >= hp.early_stopping_rounds:
+                        break
+
+    if hp.early_stopping_rounds is not None and best_round is not None and snapshots:
+        w_final, b_final = snapshots[best_round]
+    else:
+        w_final = np.asarray(w_blocks).reshape(-1)[:f]
+        b_final = float(bias)
+
+    return GBLinearModel(
+        weight=w_final.astype(np.float32),
+        bias=b_final,
+        base_score=hp.base_score,
+        eval_history=history,
+        best_iteration=best_round,
+    )
+
+
+def make_sharded_round_fn(hp: GBLinearParams, axis_name: str = "data"):
+    """One boosting round for shard_map over a row-sharded dataset.
+
+    The caller shards ``Xt_blocks`` (n_blocks, B, n_local) and residual
+    ``r`` (n_local,) over hosts/devices; per-feature gradient sums become
+    ``psum`` collectives over the data axis. ``col_hess_blocks`` must be the
+    *global* column hessians (psum of local sums, computed once up front).
+    """
+
+    def round_fn(w_blocks, bias, r, Xt_blocks, col_hess_blocks, n_total):
+        return _round_body(Xt_blocks, col_hess_blocks, hp, n_total, axis_name=axis_name)(
+            w_blocks, bias, r
+        )
+
+    return round_fn

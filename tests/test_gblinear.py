@@ -1,0 +1,160 @@
+"""gblinear trainer/predictor: convergence to the ridge solution, format
+round-trips, sharded-training equality."""
+
+import numpy as np
+import pytest
+
+import jax
+
+from expecto_tpu.models.gblinear import (
+    GBLinearModel,
+    GBLinearParams,
+    train_gblinear,
+    predict_gblinear,
+)
+from expecto_tpu.io.xgb import (
+    save_xgb07_binary,
+    load_xgb07_binary,
+    dump_text,
+    parse_dump_text,
+    load_expression_model,
+    save_expression_model,
+)
+
+
+@pytest.fixture(scope="module")
+def ridge_problem():
+    rng = np.random.default_rng(42)
+    n, f = 400, 60
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    w_true = rng.normal(size=f) * 0.5
+    y = (2.0 + X @ w_true + rng.normal(size=n) * 0.1).astype(np.float32)
+    return X, y, w_true
+
+
+def closed_form_ridge(X, y, lam, base_score):
+    """Ridge with intercept handled like gblinear (unpenalized bias around
+    base_score)."""
+    n, f = X.shape
+    Xb = np.concatenate([X, np.ones((n, 1))], axis=1)
+    reg = lam * np.eye(f + 1)
+    reg[f, f] = 0.0
+    w = np.linalg.solve(Xb.T @ Xb + reg, Xb.T @ (y - base_score))
+    return w[:f], w[f]
+
+
+def test_converges_to_ridge(ridge_problem):
+    X, y, _ = ridge_problem
+    lam = 10.0
+    hp = GBLinearParams(eta=0.5, reg_lambda=lam, num_round=600, block_size=16)
+    model = train_gblinear(X, y, hp)
+    w_star, b_star = closed_form_ridge(X, y, lam, hp.base_score)
+    np.testing.assert_allclose(model.weight, w_star, atol=5e-3)
+    assert abs(model.bias - b_star) < 5e-3
+
+
+def test_reference_hyperparams_run(ridge_problem):
+    """Default reference params (eta .01, lambda 100, 100 rounds) must train
+    stably and fit direction (spearman sanity, as train.py prints)."""
+    from scipy.stats import spearmanr
+
+    X, y, _ = ridge_problem
+    model = train_gblinear(X, y, GBLinearParams())
+    rho = spearmanr(predict_gblinear(model, X), y).statistic
+    assert rho > 0.9
+
+
+def test_block_size_invariance_jacobi_vs_blocks(ridge_problem):
+    """Different block sizes converge to the same ridge optimum."""
+    X, y, _ = ridge_problem
+    hp_a = GBLinearParams(eta=0.3, reg_lambda=5.0, num_round=800, block_size=8)
+    hp_b = GBLinearParams(eta=0.3, reg_lambda=5.0, num_round=800, block_size=64)
+    m_a = train_gblinear(X, y, hp_a)
+    m_b = train_gblinear(X, y, hp_b)
+    np.testing.assert_allclose(m_a.weight, m_b.weight, atol=1e-3)
+
+
+def test_l1_sparsifies(ridge_problem):
+    X, y, _ = ridge_problem
+    dense = train_gblinear(X, y, GBLinearParams(eta=0.5, reg_alpha=0.0, reg_lambda=1.0, num_round=300))
+    sparse = train_gblinear(X, y, GBLinearParams(eta=0.5, reg_alpha=50.0, reg_lambda=1.0, num_round=300))
+    assert np.sum(np.abs(sparse.weight) < 1e-6) > np.sum(np.abs(dense.weight) < 1e-6)
+
+
+def test_eval_history_and_early_stopping(ridge_problem):
+    X, y, _ = ridge_problem
+    hp = GBLinearParams(eta=0.5, num_round=50, early_stopping_rounds=5)
+    model = train_gblinear(X[:300], y[:300], hp, evals=[(X[300:], y[300:], "eval")])
+    assert "eval" in model.eval_history and len(model.eval_history["eval"]) >= 1
+    # early rounds should improve RMSE
+    h = model.eval_history["eval"]
+    assert h[-1] <= h[0]
+
+
+def test_binary_roundtrip(tmp_path, ridge_problem):
+    X, y, _ = ridge_problem
+    model = train_gblinear(X, y, GBLinearParams(num_round=5))
+    p = tmp_path / "m.save"
+    save_xgb07_binary(model, p)
+    loaded = load_xgb07_binary(p)
+    np.testing.assert_array_equal(loaded.weight, model.weight)
+    assert loaded.bias == pytest.approx(model.bias)
+    assert loaded.base_score == pytest.approx(model.base_score)
+    np.testing.assert_allclose(predict_gblinear(loaded, X), predict_gblinear(model, X), rtol=1e-6)
+
+
+def test_dump_roundtrip(ridge_problem):
+    X, y, _ = ridge_problem
+    model = train_gblinear(X, y, GBLinearParams(num_round=3))
+    text = dump_text(model)
+    lines = text.strip("\n").split("\n")
+    assert lines[0] == "bias:" and lines[2] == "weight:"
+    parsed = parse_dump_text(text, base_score=model.base_score)
+    np.testing.assert_allclose(parsed.weight, model.weight, rtol=1e-6)
+
+
+def test_load_any_format(tmp_path, ridge_problem):
+    X, y, _ = ridge_problem
+    model = train_gblinear(X, y, GBLinearParams(num_round=3))
+    for name in ["m.save", "m.dump", "m.npz"]:
+        path = tmp_path / name
+        save_expression_model(model, path)
+        loaded = load_expression_model(path)
+        np.testing.assert_allclose(loaded.weight, model.weight, rtol=1e-6)
+
+
+def test_sharded_training_matches_single(ridge_problem):
+    """Row-sharded training over the 8-device mesh == single-device result."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from jax import shard_map
+    import jax.numpy as jnp
+    from expecto_tpu.models.gblinear import make_sharded_round_fn, _pad_blocks
+
+    X, y, _ = ridge_problem
+    hp = GBLinearParams(eta=0.3, reg_lambda=5.0, num_round=40, block_size=16)
+    single = train_gblinear(X, y, hp)
+
+    n, f = X.shape
+    Xt_blocks, n_blocks = _pad_blocks(np.ascontiguousarray(X.T), hp.block_size)
+    col_hess = np.sum(Xt_blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
+
+    mesh = Mesh(np.array(jax.devices()), ("data",))
+    round_fn = make_sharded_round_fn(hp, axis_name="data")
+
+    sharded_round = shard_map(
+        lambda w, b, r, Xb, ch: round_fn(w, b, r, Xb, ch, float(n)),
+        mesh=mesh,
+        in_specs=(P(), P(), P("data"), P(None, None, "data"), P()),
+        out_specs=(P(), P(), P("data")),
+    )
+
+    w_blocks = jnp.zeros(Xt_blocks.shape[:2], jnp.float32)
+    bias = jnp.zeros((), jnp.float32)
+    r = jnp.asarray(np.full(n, hp.base_score, np.float32) - y)
+    jit_round = jax.jit(sharded_round)
+    for _ in range(hp.num_round):
+        w_blocks, bias, r = jit_round(w_blocks, bias, r, jnp.asarray(Xt_blocks), jnp.asarray(col_hess))
+
+    w_sharded = np.asarray(w_blocks).reshape(-1)[:f]
+    np.testing.assert_allclose(w_sharded, single.weight, atol=1e-4)
+    assert abs(float(bias) - single.bias) < 1e-4
