@@ -1,0 +1,77 @@
+"""CLI: variant chromatin effects (reference chromatin.py flags).
+
+Example:
+    python -m expecto_tpu.cli.chromatin ./example/example.vcf \
+        --beluga_weights ./resources/beluga.npz --genome ./resources/hg19.fa
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict variant chromatin effects")
+    p.add_argument("inputfile", type=str, help="Input file in vcf format")
+    p.add_argument("--hg38", action="store_true", help="Lift variants from hg38 to hg19 (requires --chain_file)")
+    p.add_argument("--chain_file", type=str, default=None, help="UCSC hg38->hg19 over.chain[.gz] for --hg38")
+    p.add_argument("--chunk_size", type=int, default=int(1e5))
+    p.add_argument("--chunk_i", type=int, default=None)
+    p.add_argument("--maxshift", type=int, default=800)
+    p.add_argument("--inputsize", type=int, default=2000)
+    p.add_argument("--batchsize", type=int, default=1024)
+    p.add_argument("--output_dir", type=str, default="chromatin_out")
+    p.add_argument("--genome", type=str, default="./resources/hg19.fa")
+    p.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz",
+                   help="native npz checkpoint (convert .pth via expecto_tpu.models.convert)")
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute (throughput mode)")
+    p.add_argument("--cuda", action="store_true", help="ignored (TPU-native); kept for CLI parity")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ..genome.fasta import FastaIndex
+    from ..genome.vcf import read_vcf, standardize_chroms, write_vcf_hg19
+    from ..models.convert import load_params_npz
+    from ..parallel.runner import BelugaRunner
+    from ..pipeline.chromatin import compute_variant_chromatin_effects
+
+    genome = FastaIndex(args.genome)
+    os.makedirs(args.output_dir, exist_ok=True)
+    vcf = read_vcf(args.inputfile, chunk_size=args.chunk_size, chunk_i=args.chunk_i)
+
+    if args.hg38:
+        if not args.chain_file:
+            print("--hg38 requires --chain_file (no network access for chain download)", file=sys.stderr)
+            return 2
+        from ..genome.liftover import ChainLiftover, liftover_vcf
+
+        print("Lifting over to hg19...")
+        lifted, failed = liftover_vcf(vcf, ChainLiftover(args.chain_file))
+        print(f"Failed to lift {int(failed.sum())} variants from hg38 to hg19")
+        vcf[failed].to_csv(f"{args.output_dir}/not_lifted.vcf", sep="\t", header=False, index=False)
+        vcf = lifted[~failed]
+
+    write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
+    vcf = standardize_chroms(vcf)
+
+    params = load_params_npz(args.beluga_weights)
+    runner = BelugaRunner(
+        params,
+        batch_size=args.batchsize,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+    compute_variant_chromatin_effects(
+        vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,90 @@
+"""CLI: per-gene feature regeneration (reference
+compute_expecto_features.py / replicate_expecto_features.py flags)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Compute ExPecto chromatin features for a TSS list")
+    p.add_argument("annoFile", help="geneanno.csv")
+    p.add_argument("--tss_file", default=None, help="optional hg38 TSS override table (liftover via --chain_file)")
+    p.add_argument("--chain_file", default=None)
+    p.add_argument("--windowsize", type=int, default=2000)
+    p.add_argument("--genome", type=str, default="./resources/hg19.fa")
+    p.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz")
+    p.add_argument("--batchsize", type=int, default=1600)
+    p.add_argument("--replicate_raw", action="store_true",
+                   help="save raw per-gene (200, 2002) predictions instead of projected features "
+                        "(replicate_expecto_features.py behavior)")
+    p.add_argument("--bf16", action="store_true")
+    p.add_argument("-o", dest="out_dir", type=str, default="temp_compute_expecto_features")
+    p.add_argument("--cuda", action="store_true", help="ignored; CLI parity")
+    return p
+
+
+def main(argv=None) -> int:
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from ..genome.fasta import FastaIndex
+    from ..models.convert import load_params_npz
+    from ..parallel.runner import BelugaRunner
+    from ..pipeline.features import (
+        compute_gene_features,
+        replicate_gene_features,
+        records_from_geneanno,
+    )
+
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.out_dir, exist_ok=True)
+
+    genome = FastaIndex(args.genome)
+    geneanno = pd.read_csv(args.annoFile)
+
+    if args.tss_file:
+        # hg38 TSS override with liftover, keeping the annotated TSS when no
+        # mapping exists (compute_expecto_features.py:43-72)
+        if not args.chain_file:
+            print("--tss_file requires --chain_file", file=sys.stderr)
+            return 2
+        from ..genome.liftover import ChainLiftover
+
+        converter = ChainLiftover(args.chain_file)
+        tss_df = pd.read_csv(args.tss_file, sep="\t", index_col=0).set_index("ens_id")
+        overrides = {}
+        for gene_id, row in tss_df.iterrows():
+            coords = converter.convert_coordinate(str(row.iloc[0]), int(row.iloc[1]))
+            is_default = bool(row.iloc[-1])
+            if coords and not is_default:
+                overrides[gene_id] = (coords[0][0], coords[0][1])
+        geneanno = geneanno.copy()
+        for i, row in geneanno.iterrows():
+            if row["id"] in overrides:
+                chrom, tss = overrides[row["id"]]
+                geneanno.loc[i, "seqnames"] = chrom
+                geneanno.loc[i, "CAGE_representative_TSS"] = tss
+
+    genes = records_from_geneanno(geneanno)
+    params = load_params_npz(args.beluga_weights)
+    runner = BelugaRunner(
+        params, batch_size=args.batchsize,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+    )
+
+    if args.replicate_raw:
+        replicate_gene_features(genes, genome, runner, windowsize=args.windowsize, out_dir=args.out_dir)
+    else:
+        compute_gene_features(
+            genes, genome, runner, windowsize=args.windowsize,
+            out_path=os.path.join(args.out_dir, "Xreducedall.2002.representative_tss_top"),
+            progress=True,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""CLI: SED scoring (reference predict.py flags, plus the original-ExPecto
+``--modelList``/``--output`` multi-model contract from README.md:25-30)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Predict tissue-specific expression effects (SED)")
+    p.add_argument("--model_save_file", type=str, default=None, help="single expression model (.save/.dump/.npz)")
+    p.add_argument("--modelList", type=str, default=None, help="modellist tsv -> multi-model output csv")
+    p.add_argument("--output", type=str, default="output.csv", help="output csv for --modelList mode")
+    p.add_argument("--belugaFeatures", type=str, default=None)
+    p.add_argument("--coorFile", "--coorFile_chromatin", dest="coorFile", type=str, required=True)
+    p.add_argument("--geneFile", type=str, required=True)
+    p.add_argument("--snpEffectFilePattern", type=str, required=True)
+    p.add_argument("--nfeatures", type=int, default=2002)
+    p.add_argument("--fixeddist", type=int, default=0)
+    p.add_argument("--maxshift", type=int, default=800)
+    p.add_argument("--batchSize", type=int, default=500, help="kept for CLI parity (scoring is one matmul)")
+    p.add_argument("--threads", type=int, default=16, help="kept for CLI parity")
+    p.add_argument("--splitIndex", type=int, default=0)
+    p.add_argument("--splitFold", type=int, default=10)
+    p.add_argument("--splitFlag", action="store_true")
+    p.add_argument("--no_tf_features", action="store_true")
+    p.add_argument("--no_dnase_features", action="store_true")
+    p.add_argument("--no_histone_features", action="store_true")
+    p.add_argument("--intersect_with_lambert", action="store_true")
+    p.add_argument("--no_pol2", action="store_true")
+    p.add_argument("-o", dest="out_dir", default="predict_out")
+    return p
+
+
+def main(argv=None) -> int:
+    import pandas as pd
+
+    from ..io.tables import load_beluga_features, load_modellist, load_closest_genes
+    from ..io.xgb import load_expression_model
+    from ..pipeline.sed import load_shift_effects, score_sed, score_sed_multimodel
+    from ..utils.keep_mask import get_keep_mask
+
+    args = build_parser().parse_args(argv)
+
+    keep_mask = None
+    if args.belugaFeatures and any(
+        [args.no_tf_features, args.no_dnase_features, args.no_histone_features, args.intersect_with_lambert, args.no_pol2]
+    ):
+        features_df = load_beluga_features(args.belugaFeatures)
+        keep_mask = get_keep_mask(
+            features_df, args.no_tf_features, args.no_dnase_features, args.no_histone_features,
+            args.intersect_with_lambert, args.no_pol2,
+        )
+
+    effects = load_shift_effects(args.snpEffectFilePattern, maxshift=args.maxshift)
+    coor = pd.read_csv(args.coorFile, sep="\t", header=None, comment="#")
+    gene = load_closest_genes(args.geneFile)
+
+    if args.modelList:
+        modellist = load_modellist(args.modelList)
+        paths = modellist.iloc[:, 0].tolist()
+        names = modellist.iloc[:, 1].tolist() if modellist.shape[1] > 1 else None
+        score_sed_multimodel(
+            effects, coor, gene, paths,
+            maxshift=args.maxshift, n_tracks=args.nfeatures, keep_mask=keep_mask,
+            fixeddist=args.fixeddist, output_csv=args.output, model_names=names,
+        )
+        print(f"wrote {args.output}")
+        return 0
+
+    if not args.model_save_file:
+        print("either --model_save_file or --modelList is required", file=sys.stderr)
+        return 2
+    model = load_expression_model(args.model_save_file.strip())
+    os.makedirs(args.out_dir, exist_ok=True)
+    score_sed(
+        effects, coor, gene, model,
+        maxshift=args.maxshift, n_tracks=args.nfeatures, keep_mask=keep_mask,
+        fixeddist=args.fixeddist, out_dir=args.out_dir,
+    )
+    print(f"wrote {args.out_dir}/sed.tsv")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,88 @@
+"""CLI: expression-model training (reference train.py / train_bootstrap.py
+flags)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Train an ExPecto expression model")
+    p.add_argument("--targetIndex", type=int, required=True)
+    p.add_argument("--expFile", type=str, required=True)
+    p.add_argument("--belugaFeatures", type=str, default=None)
+    p.add_argument("--inputFile", type=str, default="./resources/Xreducedall.2002.npy")
+    p.add_argument("--annoFile", type=str, default="./resources/geneanno.csv")
+    p.add_argument("--evalFile", type=str, default="")
+    p.add_argument("--filterStr", type=str, default="all")
+    p.add_argument("--pseudocount", type=float, default=0.0001)
+    p.add_argument("--num_round", type=int, default=100)
+    p.add_argument("--l2", type=float, default=100)
+    p.add_argument("--l1", type=float, default=0)
+    p.add_argument("--eta", type=float, default=0.01)
+    p.add_argument("--base_score", type=float, default=2)
+    p.add_argument("--threads", type=int, default=16, help="kept for CLI parity")
+    p.add_argument("--no_tf_features", action="store_true")
+    p.add_argument("--no_dnase_features", action="store_true")
+    p.add_argument("--no_histone_features", action="store_true")
+    p.add_argument("--intersect_with_lambert", action="store_true")
+    p.add_argument("--no_pol2", action="store_true")
+    p.add_argument("--seed", type=int, default=None, help="bootstrap resample seed (train_bootstrap.py)")
+    p.add_argument("--output_dir", type=str, default="temp_expecto_model")
+    return p
+
+
+def main(argv=None) -> int:
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from ..io.tables import load_beluga_features
+    from ..models.gblinear import GBLinearParams
+    from ..pipeline.train import train_expression_model
+    from ..utils.keep_mask import get_keep_mask
+
+    args = build_parser().parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    Xreducedall = np.load(args.inputFile)
+    geneanno = pd.read_csv(args.annoFile)
+    geneexp = pd.read_csv(args.expFile)
+    print(f"Cell type: {geneexp.columns[args.targetIndex]}")
+
+    keep_mask = None
+    if args.belugaFeatures and any(
+        [args.no_tf_features, args.no_dnase_features, args.no_histone_features, args.intersect_with_lambert, args.no_pol2]
+    ):
+        keep_mask = get_keep_mask(
+            load_beluga_features(args.belugaFeatures),
+            args.no_tf_features, args.no_dnase_features, args.no_histone_features,
+            args.intersect_with_lambert, args.no_pol2,
+        )
+
+    hp = GBLinearParams(
+        eta=args.eta, reg_lambda=args.l2, reg_alpha=args.l1,
+        base_score=args.base_score, num_round=args.num_round,
+    )
+    seed_tag = f".seed{args.seed}" if args.seed is not None else ""
+    prefix = os.path.join(
+        args.output_dir,
+        f"expecto_{args.filterStr}.pseudocount{args.pseudocount}.lambda{args.l2}"
+        f".round{args.num_round}.basescore{args.base_score}.{geneexp.columns[args.targetIndex]}{seed_tag}",
+    )
+    res = train_expression_model(
+        Xreducedall, geneanno, geneexp.iloc[:, args.targetIndex].values,
+        filter_str=args.filterStr, pseudocount=args.pseudocount,
+        params=hp, keep_mask=keep_mask, output_prefix=prefix,
+        seed_resample=args.seed, verbose=True,
+    )
+    print(f"spearman (chr8 holdout): {res.spearman:.4f}")
+    if args.evalFile:
+        pd.DataFrame({"pred": res.test_pred, "target": res.test_true}).to_csv(args.evalFile)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,146 @@
+"""Gene-level feature computation (reference compute_expecto_features.py,
+hot path #2, and replicate_expecto_features.py).
+
+Per gene: 200 strand-oriented 2,000-bp windows at shifts
+range(-20000, 20000, 200) around the representative TSS, Beluga forward with
+on-device forward/RC averaging, then the (no-floor) decay projection into
+20,020 features.
+
+TPU-first restructuring: a gene's 200 windows overlap by 90% (200-bp stride
+on 2,000-bp windows), so the host fetches one contiguous ~42-kb sequence per
+gene and builds the 200 window views as slices of the code array — 10x less
+host-side encoding than the reference's per-window fetch loop
+(compute_expecto_features.py:107-111). Windows for many genes stream through
+the fixed-shape sharded runner back to back.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+from ..genome.encode import seqs_to_codes, N_CODE, _BYTE_LUT
+from ..genome.fasta import FastaIndex
+from ..genome.windows import gene_shifts, gene_shift_window_bounds
+from ..ops.decay import gene_pos_weights, project_features
+from ..parallel.runner import BelugaRunner
+
+
+def gene_window_codes(
+    genome: FastaIndex,
+    chrom: str,
+    tss: int,
+    strand: int,
+    *,
+    windowsize: int = 2000,
+    shifts: list[int] | None = None,
+) -> np.ndarray:
+    """(n_shifts, windowsize) int8 codes for one gene's shift windows.
+
+    Equivalent to per-shift ``genome.sequence`` fetches with the reference
+    window math (compute_expecto_features.py:108-110), but via one contiguous
+    fetch + strided slicing. Out-of-contig regions encode as N (zero one-hot).
+    """
+    shifts = gene_shifts() if shifts is None else shifts
+    bounds = [gene_shift_window_bounds(tss, strand, s, windowsize) for s in shifts]
+    lo = min(b[0] for b in bounds)
+    hi = max(b[1] for b in bounds)
+
+    span = np.full(hi - lo + 1, N_CODE, dtype=np.int8)
+    raw = genome.sequence_bytes(chrom, lo, hi)
+    clamp_lo = max(lo, 1)
+    span[clamp_lo - lo : clamp_lo - lo + len(raw)] = _BYTE_LUT[np.frombuffer(raw, dtype=np.uint8)]
+
+    out = np.empty((len(shifts), windowsize), dtype=np.int8)
+    for i, (start, _stop) in enumerate(bounds):
+        off = start - lo
+        out[i] = span[off : off + windowsize]
+    return out
+
+
+@dataclass
+class GeneRecord:
+    gene_id: str
+    chrom: str
+    tss: int
+    strand: int  # +1 / -1
+
+
+def records_from_geneanno(geneanno: pd.DataFrame, tss_col: str = "CAGE_representative_TSS") -> list[GeneRecord]:
+    return [
+        GeneRecord(
+            gene_id=row["id"],
+            chrom=row["seqnames"],
+            tss=int(row[tss_col]),
+            strand=1 if row["strand"] == "+" else -1,
+        )
+        for _, row in geneanno.iterrows()
+    ]
+
+
+def compute_gene_features(
+    genes: list[GeneRecord],
+    genome: FastaIndex,
+    runner: BelugaRunner,
+    *,
+    windowsize: int = 2000,
+    out_path: str | os.PathLike | None = None,
+    genes_per_chunk: int = 8,
+    progress: bool = False,
+) -> np.ndarray:
+    """(n_genes, 20020) decay-projected features
+    (compute_expecto_features.py:103-128).
+
+    Beluga runs with on-device fwd/RC averaging; multiple genes' windows are
+    fused per device batch.
+    """
+    shifts = gene_shifts()
+    pos_weights = gene_pos_weights(shifts)  # (10, 200)
+    n_shifts = len(shifts)
+    features = np.empty((len(genes), pos_weights.shape[0] * 2002), dtype=np.float32)
+
+    iterator = range(0, len(genes), genes_per_chunk)
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(list(iterator))
+    for start in iterator:
+        chunk = genes[start : start + genes_per_chunk]
+        codes = np.concatenate(
+            [gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts) for g in chunk],
+            axis=0,
+        )
+        preds = runner.predict_codes(codes, average_rc=True)  # (len(chunk)*200, 2002)
+        preds = preds.reshape(len(chunk), n_shifts, -1)
+        for j in range(len(chunk)):
+            features[start + j] = project_features(pos_weights, preds[j][:, None, :])[0]
+
+    if out_path is not None:
+        np.save(out_path, features)
+    return features
+
+
+def replicate_gene_features(
+    genes: list[GeneRecord],
+    genome: FastaIndex,
+    runner: BelugaRunner,
+    *,
+    windowsize: int = 2000,
+    out_dir: str | os.PathLike | None = None,
+) -> dict[str, np.ndarray]:
+    """Raw per-gene (200, 2002) fwd/RC-averaged prediction matrices without
+    projection (reference replicate_expecto_features.py:16-92), the input to
+    SVD/clustering."""
+    out: dict[str, np.ndarray] = {}
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+    for g in genes:
+        codes = gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize)
+        preds = runner.predict_codes(codes, average_rc=True)
+        out[g.gene_id] = preds
+        if out_dir is not None:
+            np.save(os.path.join(out_dir, f"{g.gene_id}.npy"), preds)
+    return out

@@ -1,0 +1,239 @@
+"""SED scoring: per-shift chromatin effects -> per-(variant, gene) expression
+effects (reference predict.py:70-280).
+
+Steps:
+    1. read per-shift h5s (fork ``diff/ref/alt`` or legacy ``pred`` schema),
+       averaging forward/RC halves (predict.py:183-194);
+    2. align the variant table with the closest-gene association file:
+       drop duplicates, then repeat variant rows once per associated gene
+       (predict.py:219-235);
+    3. build the floored decay basis from strand-corrected TSS distances and
+       project per-shift effects into 20,020-dim features — one einsum
+       instead of the reference's tile/repeat batch loop (predict.py:120-136);
+    4. apply the track keep-mask and predict with the gblinear model(s):
+       ``effect = pred(0) - pred(diff)``, ``SED = pred(alt) - pred(ref)``.
+
+Multi-model mode reproduces the original ExPecto ``--modelList ->
+output.csv`` contract (README.md:25-30): one SED (log-fold-change) column
+per tissue model. Since the gblinear predictor is one matvec, all models are
+stacked into a single (F, n_models) matrix — scoring 218 tissues is one
+matmul on the MXU.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+
+from ..genome.windows import variant_shifts
+from ..io.h5 import read_shift_h5_averaged
+from ..io.xgb import load_expression_model
+from ..models.gblinear import GBLinearModel
+from ..ops.decay import variant_basis, project_features, pad_legacy_20030, N_BASIS
+from ..utils.keep_mask import subset_features_by_mask
+
+
+def load_shift_effects(pattern: str, maxshift: int = 800) -> dict[str, np.ndarray]:
+    """Load per-shift h5s by substituting SHIFT in ``pattern``
+    (predict.py:173-194). Returns {'diff': (S,N,M), 'ref': ..., 'alt': ...};
+    legacy files yield only 'diff'."""
+    shifts = variant_shifts(maxshift)
+    per_key: dict[str, list] = {}
+    for shift in shifts:
+        data = read_shift_h5_averaged(pattern.replace("SHIFT", str(shift)))
+        for k, v in data.items():
+            per_key.setdefault(k, []).append(v)
+    return {k: np.stack(v, axis=0) for k, v in per_key.items()}
+
+
+def get_num_repeats(genes_df: pd.DataFrame) -> list[int]:
+    """Count consecutive rows per variant key in the closest-gene file
+    (predict.py:202-213): maps N variants -> M (variant, gene) rows."""
+    repeats = [0]
+    i = 0
+    prev = None
+    for _, row in genes_df.iterrows():
+        curr = ":".join(map(str, row.iloc[0:5]))
+        if prev is not None and curr != prev:
+            repeats.append(0)
+            i += 1
+        repeats[i] += 1
+        prev = curr
+    return repeats
+
+
+@dataclass
+class SedInputs:
+    """Aligned (variant, gene) rows ready for scoring."""
+
+    coor: pd.DataFrame
+    dist: np.ndarray
+    strand: np.ndarray
+    genename: np.ndarray
+    effects: dict[str, np.ndarray]  # (S, M_rows, n_tracks) per key
+
+
+def align_variants_with_genes(
+    coor: pd.DataFrame,
+    gene: pd.DataFrame,
+    effects: dict[str, np.ndarray],
+    fixeddist: int = 0,
+) -> SedInputs:
+    """Dedup + repeat-expansion alignment (predict.py:219-246)."""
+    gene = gene.drop_duplicates(keep="first")
+    coor_mask = ~coor.duplicated(keep="first")
+    coor = coor[coor_mask]
+    effects = {k: v[:, np.asarray(coor_mask), :] for k, v in effects.items()}
+
+    repeats = get_num_repeats(gene)
+    if sum(repeats) != gene.shape[0] or len(repeats) != coor.shape[0]:
+        raise ValueError("Gene association file does not match the vcf file.")
+    coor_new = pd.DataFrame(np.repeat(coor.values, repeats, axis=0))
+    coor_new.columns = coor.columns
+    effects = {k: np.repeat(v, repeats=repeats, axis=1) for k, v in effects.items()}
+
+    if fixeddist == 0:
+        dist = -np.asarray(gene.iloc[:, -1])
+    else:
+        dist = np.full(gene.shape[0], fixeddist)
+    return SedInputs(
+        coor=coor_new,
+        dist=np.asarray(dist),
+        strand=np.asarray(gene.iloc[:, -3]),
+        genename=np.asarray(gene.iloc[:, -2]),
+        effects=effects,
+    )
+
+
+def _project(inputs: SedInputs, maxshift: int, keep_mask: np.ndarray | None, n_tracks: int):
+    basis = variant_basis(inputs.dist, inputs.strand, variant_shifts(maxshift))  # (S, M, 10)
+    feats = {k: project_features(basis, v) for k, v in inputs.effects.items()}
+    if keep_mask is not None:
+        feats = {k: subset_features_by_mask(v, keep_mask, N_BASIS, n_tracks) for k, v in feats.items()}
+    return feats
+
+
+def _match_model_features(X: np.ndarray, model: GBLinearModel, n_tracks: int) -> np.ndarray:
+    """Pad 20,020-dim features to the legacy 20,030 layout when the model was
+    trained on 2,003-track predictions (original FunctionLab models;
+    geuvadis_predict_consensus.py:122-124)."""
+    if model.n_features == X.shape[1]:
+        return X
+    legacy = pad_legacy_20030(X, n_tracks)
+    if model.n_features == legacy.shape[1]:
+        return legacy
+    raise ValueError(f"model expects {model.n_features} features, computed {X.shape[1]}")
+
+
+@dataclass
+class SedResult:
+    table: pd.DataFrame
+    sorted_by_magnitude: pd.DataFrame = field(default=None)
+    sorted_by_proportion: pd.DataFrame = field(default=None)
+
+
+def score_sed(
+    effects: dict[str, np.ndarray],
+    coor: pd.DataFrame,
+    gene: pd.DataFrame,
+    model: GBLinearModel,
+    *,
+    maxshift: int = 800,
+    n_tracks: int = 2002,
+    keep_mask: np.ndarray | None = None,
+    fixeddist: int = 0,
+    out_dir: str | os.PathLike | None = None,
+) -> SedResult:
+    """Single-model SED scoring -> sed.tsv (+ sorted variants)
+    (fork contract, predict.py:249-280)."""
+    inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
+    feats = _project(inputs, maxshift, keep_mask, n_tracks)
+
+    def predict(X):
+        return model.predict(_match_model_features(X, model, n_tracks))
+
+    have_refalt = "ref" in feats and "alt" in feats
+    effect = predict(feats["diff"] * 0) - predict(feats["diff"])
+    if have_refalt:
+        ref = predict(feats["ref"])
+        alt = predict(feats["alt"])
+        sed = alt - ref
+    else:
+        # legacy single-'pred' inputs carry no ref/alt tracks; SED falls back
+        # to the diff-based effect (original ExPecto semantics)
+        ref = np.zeros_like(effect)
+        alt = np.zeros_like(effect)
+        sed = -effect
+
+    df = inputs.coor.copy()
+    df["dist"] = inputs.dist
+    df["gene"] = inputs.genename
+    df["strand"] = inputs.strand
+    df = pd.concat(
+        [df.reset_index(), pd.DataFrame(ref, columns=["REF"]), pd.DataFrame(alt, columns=["ALT"]), pd.DataFrame(sed, columns=["SED"])],
+        axis=1,
+        ignore_index=False,
+    )
+
+    by_mag = df.copy()
+    by_mag["SED_MAGNITUDES"] = np.abs(by_mag["SED"])
+    by_mag = by_mag.sort_values(by="SED_MAGNITUDES", ascending=False)
+    by_prop = df.copy()
+    by_prop["SED_PROPORTION"] = np.abs(by_prop["SED"] / ((by_prop["REF"] + by_prop["ALT"]) / 2))
+    by_prop = by_prop.sort_values(by="SED_PROPORTION", ascending=False)
+
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        df.to_csv(os.path.join(out_dir, "sed.tsv"), header=True, sep="\t", index=False)
+        by_mag.to_csv(os.path.join(out_dir, "sed_sorted_by_magnitude.tsv"), header=True, sep="\t", index=False)
+        by_prop.to_csv(os.path.join(out_dir, "sed_sorted_by_proportion.tsv"), header=True, sep="\t", index=False)
+
+    return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
+
+
+def score_sed_multimodel(
+    effects: dict[str, np.ndarray],
+    coor: pd.DataFrame,
+    gene: pd.DataFrame,
+    model_paths: list[str],
+    *,
+    maxshift: int = 800,
+    n_tracks: int = 2002,
+    keep_mask: np.ndarray | None = None,
+    fixeddist: int = 0,
+    output_csv: str | os.PathLike | None = None,
+    model_names: list[str] | None = None,
+) -> pd.DataFrame:
+    """Original-ExPecto multi-model contract: one log-fold-change column per
+    tissue model, appended to the vcf columns (README.md:25-30).
+
+    All model weight vectors are stacked into one (F, n_models) matrix so the
+    entire modellist scores as a single matmul.
+    """
+    inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
+    feats = _project(inputs, maxshift, keep_mask, n_tracks)
+
+    models = [load_expression_model(p) for p in model_paths]
+    n_feats = {m.n_features for m in models}
+    if len(n_feats) != 1:
+        raise ValueError(f"models disagree on feature count: {sorted(n_feats)}")
+    X_diff = _match_model_features(feats["diff"], models[0], n_tracks)
+    W = np.stack([m.weight for m in models], axis=1)  # (F, n_models)
+    bias = np.array([m.bias + m.base_score for m in models])
+
+    # effect per reference predict.py:156-157: pred(0) - pred(diff) = -diff @ w
+    sed_all = -(X_diff @ W)  # (M_rows, n_models); bias cancels in the diff
+
+    df = inputs.coor.copy()
+    df["dist"] = inputs.dist
+    df["gene"] = inputs.genename
+    df["strand"] = inputs.strand
+    names = model_names or [os.path.basename(p) for p in model_paths]
+    for j, name in enumerate(names):
+        df[name] = sed_all[:, j]
+    if output_csv is not None:
+        df.to_csv(output_csv, header=True, index=False)
+    return df

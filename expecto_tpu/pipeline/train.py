@@ -1,0 +1,185 @@
+"""Expression-model training drivers (reference train.py:83-159,
+train_bootstrap.py:88-98, train_susztak.py:87-181).
+
+Shared semantics:
+    - features: ``Xreducedall`` (n_genes, 20020), optionally keep-mask
+      subset (train.py:122);
+    - labels: ``log(expression + pseudocount)``;
+    - gene filter: all (!= rRNA) / pc / lincRNA + finite labels;
+    - split: train = all chroms except chrX/Y/8, test = chr8
+      (train.py:127-129); the susztak variant holds out chr7+chr8 from train
+      and validates on chr8 (train_susztak.py:117-122).
+
+The bootstrap and multi-tissue sweeps replace the reference's 1000x shell
+loops with in-process loops over the deterministic on-device trainer; the
+per-round feature-gradient matmuls batch naturally, and rows shard over the
+mesh for multi-host runs.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+from scipy.stats import spearmanr
+
+from ..models.gblinear import GBLinearModel, GBLinearParams, train_gblinear
+from ..io.xgb import save_expression_model, dump_text
+from ..utils.keep_mask import subset_features_by_mask
+
+
+def gene_filter(geneanno: pd.DataFrame, filter_str: str) -> np.ndarray:
+    """'all' (!= rRNA) / 'pc' / 'lincRNA' row filter (train.py:86-93)."""
+    gene_type = geneanno.iloc[:, -1]
+    if filter_str == "pc":
+        return np.asarray(gene_type == "protein_coding")
+    if filter_str == "lincRNA":
+        return np.asarray(gene_type == "lincRNA")
+    if filter_str == "all":
+        return np.asarray(gene_type != "rRNA")
+    raise ValueError("filterStr has to be one of all, pc, and lincRNA")
+
+
+def chromosome_split(geneanno: pd.DataFrame, holdout_train: tuple = ("chrX", "chrY", "chr8"), test: str = "chr8"):
+    """(train_mask, test_mask) by chromosome (train.py:127-129)."""
+    seqnames = geneanno["seqnames"]
+    train = np.ones(len(seqnames), dtype=bool)
+    for c in holdout_train:
+        train &= np.asarray(seqnames != c)
+    return train, np.asarray(seqnames == test)
+
+
+@dataclass
+class TrainResult:
+    model: GBLinearModel
+    spearman: float
+    test_pred: np.ndarray
+    test_true: np.ndarray
+    train_spearman: float | None = None
+
+
+def train_expression_model(
+    Xreducedall: np.ndarray,
+    geneanno: pd.DataFrame,
+    expression: np.ndarray,
+    *,
+    filter_str: str = "all",
+    pseudocount: float = 1e-4,
+    params: GBLinearParams | None = None,
+    keep_mask: np.ndarray | None = None,
+    n_tracks: int = 2002,
+    output_prefix: str | os.PathLike | None = None,
+    extra_filter: np.ndarray | None = None,
+    seed_resample: int | None = None,
+    verbose: bool = False,
+) -> TrainResult:
+    """Train one tissue model (reference train.py main).
+
+    ``seed_resample`` draws a bootstrap resample of the training genes with
+    replacement (train_bootstrap.py:88-98).
+    """
+    hp = params or GBLinearParams()
+    X = Xreducedall
+    if keep_mask is not None:
+        X = subset_features_by_mask(X, keep_mask, n_tracks=n_tracks)
+
+    labels = np.log(np.asarray(expression, dtype=np.float64) + pseudocount)
+    filt = gene_filter(geneanno, filter_str) & np.isfinite(labels)
+    if extra_filter is not None:
+        filt &= extra_filter
+
+    trainind, testind = chromosome_split(geneanno)
+    tr = trainind & filt
+    te = testind & filt
+
+    tr_idx = np.nonzero(tr)[0]
+    if seed_resample is not None:
+        rs = np.random.RandomState(seed_resample)
+        tr_idx = rs.choice(tr_idx, size=tr_idx.shape[0], replace=True)
+
+    X_tr, y_tr = X[tr_idx], labels[tr_idx].astype(np.float32)
+    X_te, y_te = X[te], labels[te].astype(np.float32)
+
+    model = train_gblinear(
+        X_tr, y_tr, hp, evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose
+    )
+    pred_te = model.predict(X_te)
+    rho = float(spearmanr(pred_te, y_te).statistic) if len(y_te) > 1 else float("nan")
+    rho_tr = float(spearmanr(model.predict(X_tr), y_tr).statistic) if len(y_tr) > 1 else float("nan")
+
+    if output_prefix is not None:
+        save_expression_model(model, str(output_prefix) + ".save")
+        with open(str(output_prefix) + ".dump", "w") as f:
+            f.write(dump_text(model))
+
+    return TrainResult(model=model, spearman=rho, test_pred=pred_te, test_true=y_te, train_spearman=rho_tr)
+
+
+def train_bootstrap(
+    Xreducedall: np.ndarray,
+    geneanno: pd.DataFrame,
+    expression: np.ndarray,
+    seeds: list[int],
+    *,
+    output_dir: str | os.PathLike | None = None,
+    **kwargs,
+) -> list[TrainResult]:
+    """Bootstrap sweep (replaces scripts/train_bootstrap.sh:4-7's 1000-job
+    shell loop)."""
+    results = []
+    for seed in seeds:
+        prefix = None
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+            prefix = os.path.join(output_dir, f"bootstrap_seed{seed}")
+        results.append(
+            train_expression_model(
+                Xreducedall, geneanno, expression, seed_resample=seed, output_prefix=prefix, **kwargs
+            )
+        )
+    return results
+
+
+def train_all_tissues(
+    Xreducedall: np.ndarray,
+    geneanno: pd.DataFrame,
+    expression_df: pd.DataFrame,
+    *,
+    target_indices: list[int] | None = None,
+    output_dir: str | os.PathLike | None = None,
+    metrics_path: str | os.PathLike | None = None,
+    **kwargs,
+) -> dict[str, TrainResult]:
+    """Multi-tissue sweep over expression columns with a metrics.h5 summary
+    (reference train_susztak.py:87-181)."""
+    from scipy.stats import pearsonr
+
+    indices = target_indices or list(range(1, expression_df.shape[1]))
+    results: dict[str, TrainResult] = {}
+    metrics = {"pearsonr_valid": [], "spearman_valid": [], "tissue": []}
+    for idx in indices:
+        name = str(expression_df.columns[idx])
+        prefix = None
+        if output_dir is not None:
+            os.makedirs(output_dir, exist_ok=True)
+            prefix = os.path.join(output_dir, f"expecto_{name}")
+        res = train_expression_model(
+            Xreducedall, geneanno, expression_df.iloc[:, idx].values, output_prefix=prefix, **kwargs
+        )
+        results[name] = res
+        metrics["tissue"].append(name)
+        metrics["spearman_valid"].append(res.spearman)
+        finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
+        metrics["pearsonr_valid"].append(
+            float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
+        )
+    if metrics_path is not None:
+        import h5py
+
+        with h5py.File(metrics_path, "w") as f:
+            f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valid"]))
+            f.create_dataset("spearman_valid", data=np.asarray(metrics["spearman_valid"]))
+            f.create_dataset("tissue", data=np.array(metrics["tissue"], dtype="S"))
+    return results

@@ -1,0 +1,169 @@
+"""CLI facade tests: chromatin -> predict end-to-end through argv, train CLI,
+mergers."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+
+from expecto_tpu.models.convert import state_dict_to_params, save_params_npz
+from torch_oracle import TorchBeluga
+
+
+@pytest.fixture(scope="module")
+def weights_npz(tmp_path_factory):
+    torch.manual_seed(2)
+    net = TorchBeluga().eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.mul_(0.05)
+    path = tmp_path_factory.mktemp("weights") / "beluga.npz"
+    save_params_npz(state_dict_to_params(net.state_dict_reference_keys()), path)
+    return str(path)
+
+
+@pytest.fixture(scope="module")
+def genome_path(tmp_path_factory):
+    from expecto_tpu.genome.fasta import write_fasta
+
+    rs = np.random.RandomState(77)
+    bases = np.array(list("ACGT"))
+    contigs = {"chr1": "".join(bases[rs.randint(0, 4, 50000)])}
+    path = tmp_path_factory.mktemp("g") / "g.fa"
+    write_fasta(path, contigs)
+    return str(path), contigs
+
+
+def test_chromatin_then_predict_cli(tmp_path, weights_npz, genome_path):
+    from expecto_tpu.cli.chromatin import main as chromatin_main
+    from expecto_tpu.cli.predict import main as predict_main
+
+    gpath, contigs = genome_path
+    vcf_path = tmp_path / "in.vcf"
+    rows = []
+    for pos in [9000, 21000]:
+        ref = contigs["chr1"][pos - 1]
+        alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+        rows.append(f"chr1\t{pos}\t.\t{ref}\t{alt}")
+    vcf_path.write_text("\n".join(rows) + "\n")
+
+    out_dir = tmp_path / "chromatin_out"
+    rc = chromatin_main([
+        str(vcf_path), "--genome", gpath, "--beluga_weights", weights_npz,
+        "--output_dir", str(out_dir), "--maxshift", "200", "--batchsize", "16",
+    ])
+    assert rc == 0
+    for s in [0, -200, 200]:
+        assert (out_dir / f"snps.shift_{s}.diff.h5").exists()
+    assert (out_dir / "snps_hg19.vcf").exists()
+
+    # closest-gene file (11 cols; last three: strand, gene, dist)
+    gene_path = tmp_path / "genes.tsv"
+    gene_rows = []
+    for pos in [9000, 21000]:
+        ref = contigs["chr1"][pos - 1]
+        alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+        gene_rows.append(f"1\t{pos-1}\t{pos}\t{ref}\t{alt}\t1\t9999\t10000\t+\tGENE_{pos}\t{10000-pos}")
+    gene_path.write_text("\n".join(gene_rows) + "\n")
+
+    # single-model mode
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+
+    rng = np.random.default_rng(1)
+    model_path = tmp_path / "m.save"
+    save_xgb07_binary(GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.01, bias=0.2), model_path)
+
+    sed_dir = tmp_path / "sed_out"
+    rc = predict_main([
+        "--model_save_file", str(model_path),
+        "--coorFile", str(out_dir / "snps_hg19.vcf"),
+        "--geneFile", str(gene_path),
+        "--snpEffectFilePattern", str(out_dir / "snps.shift_SHIFT.diff.h5"),
+        "--maxshift", "200",
+        "-o", str(sed_dir),
+    ])
+    assert rc == 0
+    sed = pd.read_csv(sed_dir / "sed.tsv", sep="\t")
+    assert sed.shape[0] == 2 and {"REF", "ALT", "SED"} <= set(sed.columns)
+
+    # modelList mode
+    mlist = tmp_path / "modellist"
+    mlist.write_text(f"ModelName\tTissue\n{model_path}\tTissueA\n")
+    out_csv = tmp_path / "output.csv"
+    rc = predict_main([
+        "--modelList", str(mlist),
+        "--output", str(out_csv),
+        "--coorFile", str(out_dir / "snps_hg19.vcf"),
+        "--geneFile", str(gene_path),
+        "--snpEffectFilePattern", str(out_dir / "snps.shift_SHIFT.diff.h5"),
+        "--maxshift", "200",
+    ])
+    assert rc == 0
+    out = pd.read_csv(out_csv)
+    assert "TissueA" in out.columns and out.shape[0] == 2
+
+
+def test_train_cli(tmp_path):
+    from expecto_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(3)
+    n = 150
+    X = rng.normal(size=(n, 8)).astype(np.float32)
+    np.save(tmp_path / "X.npy", X)
+    geneanno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "symbol": ["s"] * n,
+        "seqnames": rng.choice(["chr1", "chr8"], size=n),
+        "strand": ["+"] * n,
+        "TSS": np.arange(n),
+        "CAGE_representative_TSS": np.arange(n),
+        "type": ["protein_coding"] * n,
+    })
+    geneanno.to_csv(tmp_path / "anno.csv", index=False)
+    pd.DataFrame({"gene": geneanno["id"], "tissueX": np.exp(rng.normal(size=n))}).to_csv(
+        tmp_path / "exp.csv", index=False
+    )
+
+    rc = train_main([
+        "--targetIndex", "1", "--expFile", str(tmp_path / "exp.csv"),
+        "--inputFile", str(tmp_path / "X.npy"), "--annoFile", str(tmp_path / "anno.csv"),
+        "--num_round", "5", "--output_dir", str(tmp_path / "models"),
+        "--evalFile", str(tmp_path / "eval.csv"),
+    ])
+    assert rc == 0
+    saves = list((tmp_path / "models").glob("*.save"))
+    assert len(saves) == 1 and "tissueX" in saves[0].name
+    assert (tmp_path / "eval.csv").exists()
+
+
+def test_merge_sed_cli(tmp_path):
+    from expecto_tpu.cli.merge import main as merge_main
+
+    for i in range(3):
+        d = tmp_path / "batches" / f"chunk_{i}"
+        os.makedirs(d)
+        pd.DataFrame({"SED": [i * 1.0]}).to_csv(d / "sed.tsv", sep="\t", index=False)
+    rc = merge_main(["sed", "--batch_dir", str(tmp_path / "batches"), "--n_chunks", "3", "-o", str(tmp_path / "merged")])
+    assert rc == 0
+    merged = pd.read_csv(tmp_path / "merged" / "sed.tsv", sep="\t", index_col=0)
+    assert merged["SED"].tolist() == [0.0, 1.0, 2.0]
+
+
+def test_compress_cli(tmp_path):
+    import h5py
+
+    from expecto_tpu.cli.merge import main as merge_main
+
+    src = tmp_path / "preds" / "gene1"
+    os.makedirs(src)
+    with h5py.File(src / "g.h5", "w") as f:
+        f.create_dataset("preds", data=np.ones((4, 5), np.float32))
+        f.create_dataset("record_ids", data=np.array([b"a|b|c|d"] * 4))
+    rc = merge_main(["compress", "--preds_dir", str(tmp_path / "preds"), "--out_dir", str(tmp_path / "zipped")])
+    assert rc == 0
+    assert not (src / "g.h5").exists()
+    with h5py.File(tmp_path / "zipped" / "gene1" / "g.h5", "r") as f:
+        assert f["preds"].dtype == np.float16

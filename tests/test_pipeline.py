@@ -1,0 +1,246 @@
+"""End-to-end pipeline tests: chromatin effects vs a torch oracle, SED
+scoring vs a numpy oracle, legacy example fixtures, training driver."""
+
+import os
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+import torch
+
+from expecto_tpu.genome.encode import encode_seqs
+from expecto_tpu.genome.windows import variant_shifts
+from expecto_tpu.io.h5 import read_shift_h5, read_shift_h5_averaged
+from expecto_tpu.models.convert import state_dict_to_params
+from expecto_tpu.models.gblinear import GBLinearModel
+from expecto_tpu.parallel.runner import BelugaRunner
+from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+from expecto_tpu.pipeline.sed import (
+    load_shift_effects,
+    score_sed,
+    score_sed_multimodel,
+    get_num_repeats,
+)
+from torch_oracle import TorchBeluga
+
+REFERENCE_EXAMPLE = "/root/reference/example"
+
+
+@pytest.fixture(scope="module")
+def oracle():
+    torch.manual_seed(11)
+    net = TorchBeluga().eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.mul_(0.05)
+    return net
+
+
+@pytest.fixture(scope="module")
+def runner(oracle):
+    return BelugaRunner(state_dict_to_params(oracle.state_dict_reference_keys()), batch_size=64)
+
+
+@pytest.fixture(scope="module")
+def tiny_vcf(tiny_genome):
+    fa, contigs = tiny_genome
+    rows = []
+    for pos in [5000, 12000, 30000]:
+        ref = contigs["chr1"][pos - 1]
+        alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+        rows.append(["chr1", pos, ".", ref, alt])
+    return pd.DataFrame(rows)
+
+
+def torch_predict(net, seqs):
+    enc = encode_seqs(seqs, 2000, layout="NCL")  # (2N, 4, 2000) with RC
+    with torch.no_grad():
+        out = net(torch.from_numpy(enc[:, :, None, :]))
+    return out.numpy()
+
+
+class TestChromatinPipeline:
+    def test_h5_outputs_match_torch_oracle(self, tiny_genome, tiny_vcf, runner, oracle, tmp_path):
+        fa, _ = tiny_genome
+        res = compute_variant_chromatin_effects(
+            tiny_vcf, fa, runner, tmp_path, maxshift=200, output_prefix="snps", verbose=False
+        )
+        assert res.ref_matched == 3 and res.alt_matched == 0
+        assert res.shifts == [0, -200, 200]
+
+        from expecto_tpu.genome.windows import fetch_variant_window
+
+        for shift in res.shifts:
+            data = read_shift_h5(tmp_path / f"snps.shift_{shift}.diff.h5")
+            assert set(data) == {"diff", "ref", "alt"}
+            ref_seqs, alt_seqs = [], []
+            for _, row in tiny_vcf.iterrows():
+                w = fetch_variant_window(fa, row[0], int(row[1]), row[3], row[4], shift=shift)
+                ref_seqs.append(w.ref_seq)
+                alt_seqs.append(w.alt_seq)
+            want_ref = torch_predict(oracle, ref_seqs)
+            want_alt = torch_predict(oracle, alt_seqs)
+            np.testing.assert_allclose(data["ref"], want_ref, atol=3e-6)
+            np.testing.assert_allclose(data["alt"], want_alt, atol=3e-6)
+            np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
+
+
+class TestLegacyExample:
+    def test_reads_reference_example_h5(self):
+        data = read_shift_h5(f"{REFERENCE_EXAMPLE}/example.vcf.shift_0.diff.h5")
+        assert set(data) == {"diff"}
+        assert data["diff"].shape == (20, 2002)
+
+    def test_load_shift_effects_legacy(self):
+        effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5", maxshift=800)
+        assert effects["diff"].shape == (9, 10, 2002)
+
+    def test_multimodel_output_csv(self, tmp_path):
+        effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5")
+        coor = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf", sep="\t", header=None, comment="#")
+        gene = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf.bed.sorted.bed.closestgene", sep="\t", header=None)
+
+        rng = np.random.default_rng(5)
+        paths = []
+        from expecto_tpu.io.xgb import save_xgb07_binary
+
+        for i in range(3):
+            m = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.01, bias=0.1 * i, base_score=2.0)
+            p = tmp_path / f"model{i}.save"
+            save_xgb07_binary(m, p)
+            paths.append(str(p))
+
+        df = score_sed_multimodel(effects, coor, gene, paths, output_csv=tmp_path / "output.csv")
+        assert df.shape[0] == 10  # one row per (variant, gene)
+        assert "model0.save" in df.columns
+        out = pd.read_csv(tmp_path / "output.csv")
+        assert out.shape[0] == 10
+
+        # oracle check for one model: effect = -(diff_features @ w)
+        from expecto_tpu.ops.decay import variant_basis, project_features
+        from expecto_tpu.io.xgb import load_expression_model
+
+        dist = -gene.iloc[:, -1].values
+        strand = gene.iloc[:, -3].values
+        basis = variant_basis(dist, strand, variant_shifts(800))
+        feats = project_features(basis, effects["diff"])
+        m0 = load_expression_model(paths[0])
+        np.testing.assert_allclose(df["model0.save"].values, -(feats @ m0.weight), rtol=1e-4, atol=1e-7)
+
+
+class TestSedScoring:
+    def test_fork_schema_sed(self, tiny_genome, tiny_vcf, runner, tmp_path):
+        fa, _ = tiny_genome
+        compute_variant_chromatin_effects(
+            tiny_vcf, fa, runner, tmp_path, maxshift=200, output_prefix="snps", verbose=False
+        )
+        effects = load_shift_effects(str(tmp_path / "snps.shift_SHIFT.diff.h5"), maxshift=200)
+        assert set(effects) == {"diff", "ref", "alt"}
+
+        # closest-gene file: 11 cols, last three = strand, gene, dist
+        gene = pd.DataFrame(
+            [
+                ["1", 4999, 5000, r[3], r[4], "1", 6999, 7000, "+", "GENE1", 7000 - int(r[1])]
+                for _, r in tiny_vcf.iterrows()
+            ]
+        )
+        rng = np.random.default_rng(6)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.01, bias=0.3, base_score=2.0)
+
+        res = score_sed(effects, tiny_vcf, gene, model, maxshift=200, out_dir=tmp_path / "sed_out")
+        df = res.table
+        assert df.shape[0] == 3
+        assert {"REF", "ALT", "SED"} <= set(df.columns)
+        np.testing.assert_allclose(df["SED"].values, df["ALT"].values - df["REF"].values, atol=1e-6)
+        assert (tmp_path / "sed_out" / "sed.tsv").exists()
+        assert (tmp_path / "sed_out" / "sed_sorted_by_magnitude.tsv").exists()
+
+        # linearity oracle: SED == w . (alt_feat - ref_feat) == w . diff_feat
+        from expecto_tpu.ops.decay import variant_basis, project_features
+
+        basis = variant_basis(df["dist"].values, df["strand"].values, variant_shifts(200))
+        diff_feat = project_features(basis, effects["diff"])
+        np.testing.assert_allclose(df["SED"].values, diff_feat @ model.weight, rtol=1e-3, atol=1e-6)
+
+    def test_num_repeats(self):
+        gene = pd.DataFrame(
+            [
+                ["1", 9, 10, "A", "T", "x", "y", "z", "+", "G1", 5],
+                ["1", 9, 10, "A", "T", "x", "y", "z", "+", "G2", 8],
+                ["1", 19, 20, "C", "G", "x", "y", "z", "-", "G3", 2],
+            ]
+        )
+        assert get_num_repeats(gene) == [2, 1]
+
+    def test_duplicate_variant_alignment(self):
+        # two identical vcf rows -> dedup keeps first; gene file dedups too
+        effects = {"diff": np.random.default_rng(0).normal(size=(1, 2, 4))}
+        coor = pd.DataFrame([["chr1", 10, ".", "A", "T"], ["chr1", 10, ".", "A", "T"]])
+        gene = pd.DataFrame([["1", 9, 10, "A", "T", "1", 99, 100, "+", "G1", 90]] * 2)
+        from expecto_tpu.pipeline.sed import align_variants_with_genes
+
+        inputs = align_variants_with_genes(coor, gene, effects)
+        assert inputs.coor.shape[0] == 1
+        assert inputs.effects["diff"].shape == (1, 1, 4)
+
+
+class TestTraining:
+    def test_train_expression_model_end_to_end(self, tmp_path):
+        rng = np.random.default_rng(9)
+        n_genes, n_feat = 300, 40
+        X = rng.normal(size=(n_genes, n_feat)).astype(np.float32)
+        w_true = rng.normal(size=n_feat)
+        expr = np.exp(X @ w_true * 0.1 + 1.0)
+
+        chroms = rng.choice(["chr1", "chr2", "chr8", "chrX"], size=n_genes, p=[0.4, 0.3, 0.2, 0.1])
+        geneanno = pd.DataFrame(
+            {
+                "id": [f"G{i}" for i in range(n_genes)],
+                "seqnames": chroms,
+                "type": ["protein_coding"] * n_genes,
+            }
+        )
+
+        from expecto_tpu.models.gblinear import GBLinearParams
+        from expecto_tpu.pipeline.train import train_expression_model
+
+        res = train_expression_model(
+            X,
+            geneanno,
+            expr,
+            params=GBLinearParams(eta=0.3, reg_lambda=1.0, num_round=200),
+            output_prefix=tmp_path / "model",
+        )
+        assert res.spearman > 0.8
+        assert (tmp_path / "model.save").exists() and (tmp_path / "model.dump").exists()
+
+        from expecto_tpu.io.xgb import load_expression_model
+
+        loaded = load_expression_model(tmp_path / "model.save")
+        np.testing.assert_allclose(loaded.weight, res.model.weight, rtol=1e-6)
+
+    def test_bootstrap_and_multitissue(self, tmp_path):
+        rng = np.random.default_rng(10)
+        X = rng.normal(size=(120, 10)).astype(np.float32)
+        expr = np.exp(rng.normal(size=120))
+        geneanno = pd.DataFrame(
+            {
+                "id": [f"G{i}" for i in range(120)],
+                "seqnames": rng.choice(["chr1", "chr8"], size=120),
+                "type": ["protein_coding"] * 120,
+            }
+        )
+        from expecto_tpu.models.gblinear import GBLinearParams
+        from expecto_tpu.pipeline.train import train_bootstrap, train_all_tissues
+
+        hp = GBLinearParams(num_round=3)
+        boots = train_bootstrap(X, geneanno, expr, seeds=[0, 1], params=hp)
+        assert len(boots) == 2
+        assert not np.allclose(boots[0].model.weight, boots[1].model.weight)
+
+        expr_df = pd.DataFrame({"gene": geneanno["id"], "t1": expr, "t2": expr * 2})
+        res = train_all_tissues(X, geneanno, expr_df, params=hp, metrics_path=tmp_path / "metrics.h5")
+        assert set(res) == {"t1", "t2"}
+        with h5py.File(tmp_path / "metrics.h5", "r") as f:
+            assert f["spearman_valid"].shape == (2,)
