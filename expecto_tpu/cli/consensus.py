@@ -1,0 +1,74 @@
+"""CLI: GEUVADIS consensus prediction pipelines (reference
+geuvadis_predict_consensus.py / geuvadis_predict_ref_all_genes.py /
+geuvadis_sed_for_top_eqtls.py flags)."""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description="Predict expression for consensus sequences")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("expecto_model")
+        sp.add_argument("consensus_dir")
+        sp.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz")
+        sp.add_argument("--batch_size", type=int, default=1024)
+        sp.add_argument("--bf16", action="store_true")
+        sp.add_argument("-o", dest="out_dir", type=str, default="temp_predict_consensus")
+
+    sp = sub.add_parser("samples", help="per-individual consensus predictions (C18)")
+    common(sp)
+    sp.add_argument("genes_file")
+    sp.add_argument("--overwrite", action="store_true")
+    sp.add_argument("--exp_only", action="store_true")
+    sp.add_argument("--num_chunks", type=int, default=None)
+    sp.add_argument("--chunk_i", type=int, default=None)
+
+    rp = sub.add_parser("ref", help="reference-haplotype predictions for all genes (C19)")
+    common(rp)
+    rp.add_argument("genes_file")
+
+    ep = sub.add_parser("eqtl-sed", help="eQTL SED on consensus backbones (C20)")
+    common(ep)
+    ep.add_argument("eur_top_eqtl_genes_csv")
+    ep.add_argument("eqtls_csv")
+
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..models.convert import load_params_npz
+    from ..parallel.runner import BelugaRunner
+    from ..pipeline import consensus as c
+
+    runner = BelugaRunner(
+        load_params_npz(args.beluga_weights),
+        batch_size=args.batch_size,
+        compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        precision=jax.lax.Precision.DEFAULT if args.bf16 else jax.lax.Precision.HIGHEST,
+    )
+    if args.cmd == "samples":
+        c.predict_consensus_genes(
+            args.expecto_model, args.consensus_dir, args.genes_file, runner, args.out_dir,
+            overwrite=args.overwrite, exp_only=args.exp_only,
+            num_chunks=args.num_chunks, chunk_i=args.chunk_i, progress=True,
+        )
+    elif args.cmd == "ref":
+        c.predict_ref_all_genes(
+            args.expecto_model, args.consensus_dir, args.genes_file, runner, args.out_dir, progress=True
+        )
+    elif args.cmd == "eqtl-sed":
+        c.sed_for_top_eqtls(
+            args.expecto_model, args.consensus_dir, args.eur_top_eqtl_genes_csv, args.eqtls_csv,
+            runner, args.out_dir,
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,296 @@
+"""GEUVADIS personal-genome (consensus-sequence) prediction pipelines
+(reference geuvadis_predict_consensus.py, geuvadis_predict_ref_all_genes.py,
+geuvadis_sed_for_top_eqtls.py).
+
+Per gene and individual: a 393,216-bp Enformer-window consensus FASTA is
+N-padded if chromosome-edge truncated, sliced into 200 TSS-centered
+2,000-bp shift windows (0-based, TSS at len//2), run through Beluga with
+forward/RC averaging, decay-projected, padded to the legacy 20,030-feature
+layout, and scored with the expression model.
+
+TPU-first restructuring: each consensus sequence is encoded to int8 codes
+**once** and the 200 windows are strided views of that array (the reference
+re-encodes 400,000 bp of window text per sample,
+geuvadis_predict_consensus.py:93); all samples of a gene batch through the
+fixed-shape sharded runner.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from pathlib import Path
+
+import h5py
+import numpy as np
+import pandas as pd
+
+from ..genome.encode import _BYTE_LUT, N_CODE
+from ..genome.windows import gene_shifts
+from ..io.xgb import load_expression_model
+from ..models.gblinear import GBLinearModel
+from ..ops.decay import gene_pos_weights, project_features, pad_legacy_20030
+from ..parallel.runner import BelugaRunner
+from .merge import natsorted
+
+ENFORMER_SEQ_LENGTH = 393216
+
+
+def parse_fasta(path: str | os.PathLike):
+    """Minimal FASTA record iterator -> (record_id, sequence). Replaces the
+    Bio.SeqIO dependency."""
+    name = None
+    chunks: list[str] = []
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if line.startswith(">"):
+                if name is not None:
+                    yield name, "".join(chunks)
+                name = line[1:].split()[0]
+                chunks = []
+            elif line:
+                chunks.append(line)
+    if name is not None:
+        yield name, "".join(chunks)
+
+
+def pad_enformer_seq(record_id: str, seq: str, expected_len: int = ENFORMER_SEQ_LENGTH) -> str:
+    """N-pad a chromosome-edge-truncated consensus sequence to the Enformer
+    window length, using the coordinate interval in the record id
+    (reference geuvadis_predict_consensus.py:147-169)."""
+    seq = seq.upper()
+    interval = record_id.split(":")[1]
+    if interval.startswith("-"):
+        bp_start = -int(interval.split("-")[-2])
+        bp_end = int(interval.split("-")[-1])
+        if bp_end - bp_start + 1 != expected_len:
+            raise AssertionError(f"interval {interval} is not {expected_len} bp")
+        seq = "N" * (expected_len - len(seq)) + seq
+    else:
+        bp_start, bp_end = map(int, interval.split("-"))
+        if bp_end - bp_start + 1 != expected_len:
+            raise AssertionError(f"interval {interval} is not {expected_len} bp")
+        if len(seq) < expected_len:
+            seq = seq + "N" * (expected_len - len(seq))
+    if len(seq) != expected_len:
+        raise AssertionError(f"Sequence length is {len(seq)} for {record_id}")
+    return seq
+
+
+def consensus_window_codes(seq: str, strand: str, *, shifts=None, windowsize: int = 2000) -> np.ndarray:
+    """(n_shifts, windowsize) int8 codes of the TSS-centered shift windows.
+
+    0-based slicing with the TSS at ``len(seq) // 2``
+    (geuvadis_predict_consensus.py:210-243): window =
+    seq[tss + shift*strand - (w/2-1) : tss + shift*strand + w/2 + 1].
+    """
+    shifts = gene_shifts() if shifts is None else shifts
+    sgn = {"+": 1, "-": -1}[strand]
+    codes = _BYTE_LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+    tss_i = len(seq) // 2
+    out = np.empty((len(shifts), windowsize), dtype=np.int8)
+    for i, shift in enumerate(shifts):
+        start = tss_i + shift * sgn - int(windowsize / 2 - 1)
+        stop = tss_i + shift * sgn + int(windowsize / 2) + 1
+        if start < 0 or stop > len(seq):
+            raise AssertionError(f"Expected seq of length {windowsize} but window [{start}:{stop}] is out of range")
+        out[i] = codes[start:stop]
+    return out
+
+
+def consensus_features(preds: np.ndarray, shifts=None) -> np.ndarray:
+    """(n_samples, 200, 2002) averaged predictions -> legacy (n, 20030)
+    features (geuvadis_predict_consensus.py:109-125)."""
+    pos_weights = gene_pos_weights(gene_shifts() if shifts is None else shifts)
+    feats = project_features(pos_weights, preds.transpose(1, 0, 2))  # (n, 20020)
+    return pad_legacy_20030(feats)
+
+
+def _match_features(feats: np.ndarray, model: GBLinearModel) -> np.ndarray:
+    if model.n_features == feats.shape[1]:
+        return feats
+    if model.n_features == feats.shape[1] - 10:  # modern 20,020 model
+        return feats.reshape(feats.shape[0], 10, -1)[:, :, 1:].reshape(feats.shape[0], -1)
+    raise ValueError(f"model expects {model.n_features} features, have {feats.shape[1]}")
+
+
+def predict_consensus_genes(
+    expecto_model_path: str,
+    consensus_dir: str,
+    genes_file: str,
+    runner: BelugaRunner,
+    out_dir: str,
+    *,
+    overwrite: bool = False,
+    exp_only: bool = False,
+    num_chunks: int | None = None,
+    chunk_i: int | None = None,
+    genes: list[str] | None = None,
+    shifts=None,
+    progress: bool = False,
+) -> list[str]:
+    """C18: per-gene, per-individual consensus expression prediction with
+    resume-skip / --exp_only / gene-chunk semantics
+    (geuvadis_predict_consensus.py:26-135)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bst = load_expression_model(expecto_model_path.strip())
+
+    if genes is None:
+        genes = natsorted([os.path.basename(p) for p in glob.glob(f"{consensus_dir}/*")])
+    genes_df = pd.read_csv(genes_file, names=["ens_id", "chrom", "bp", "gene_symbol", "strand"], index_col=False)
+    genes_df["gene_symbol"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"]).str.lower()
+    genes_df = genes_df.set_index("gene_symbol")
+
+    if num_chunks is not None:
+        genes = list(np.array_split(np.array(genes, dtype=object), num_chunks)[chunk_i])
+        if not genes:
+            raise AssertionError("Gene split resulted in empty list")
+
+    done = []
+    iterator = genes
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(genes)
+    for gene in iterator:
+        strand = genes_df.loc[gene, "strand"]
+        preds_dir = f"{out_dir}/{gene}"
+        os.makedirs(preds_dir, exist_ok=True)
+        if not overwrite and os.path.exists(f"{preds_dir}/{gene}.h5"):
+            continue
+
+        if exp_only:
+            with h5py.File(f"{preds_dir}/{gene}_chromatin.h5", "r") as f:
+                preds = np.array(f["chromatin_preds"])
+                record_ids = [x.decode("utf-8") for x in f["record_ids"]]
+        else:
+            record_ids = []
+            all_codes = []
+            for fasta_file in glob.glob(f"{consensus_dir}/{gene}/samples/*.fa"):
+                for rec_id, seq in parse_fasta(fasta_file):
+                    seq = pad_enformer_seq(rec_id, seq)
+                    all_codes.append(consensus_window_codes(seq, strand, shifts=shifts))
+                    record_ids.append(f"{rec_id}|{Path(fasta_file).stem}")
+            codes = np.concatenate(all_codes, axis=0)
+            flat = runner.predict_codes(codes, average_rc=True)
+            preds = flat.reshape(len(record_ids), -1, flat.shape[-1])
+
+        feats = _match_features(consensus_features(preds, shifts), bst)
+        expecto_preds = bst.predict(feats)
+
+        with h5py.File(f"{preds_dir}/{gene}_chromatin.h5", "w") as f:
+            f.create_dataset("chromatin_preds", data=preds)
+            f.create_dataset("record_ids", data=np.array(record_ids, "S"))
+        with h5py.File(f"{preds_dir}/{gene}.h5", "w") as f:
+            f.create_dataset("expecto_preds", data=expecto_preds)
+            f.create_dataset("record_ids", data=np.array(record_ids, "S"))
+        done.append(gene)
+    return done
+
+
+def predict_ref_all_genes(
+    expecto_model_path: str,
+    consensus_dir: str,
+    genes_file: str,
+    runner: BelugaRunner,
+    out_dir: str,
+    *,
+    shifts=None,
+    progress: bool = False,
+) -> pd.DataFrame:
+    """C19: reference-haplotype predictions for all genes -> ref_preds.csv
+    (geuvadis_predict_ref_all_genes.py:23-106)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bst = load_expression_model(expecto_model_path.strip())
+
+    genes_df = pd.read_csv(genes_file, names=["ens_id", "chrom", "bp", "gene_symbol", "strand"], index_col=False)
+    genes_df["gene_symbol"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"])
+    genes_df = genes_df.set_index("gene_symbol")
+
+    ref_preds_out = []
+    index = genes_df.index
+    if progress:
+        from tqdm import tqdm
+
+        index = tqdm(index)
+    for gene in index:
+        strand = genes_df.loc[gene, "strand"]
+        records = list(parse_fasta(f"{consensus_dir}/{gene.lower()}/ref.fa"))
+        if len(records) != 1:
+            raise AssertionError(f"Expected 1 record in ref.fa for {gene}, got {len(records)}")
+        rec_id, seq = records[0]
+        seq = pad_enformer_seq(rec_id, seq)
+        codes = consensus_window_codes(seq, strand, shifts=shifts)
+        preds = runner.predict_codes(codes, average_rc=True)[None]  # (1, 200, 2002)
+        feats = _match_features(consensus_features(preds, shifts), bst)
+        ref_preds_out.append(float(bst.predict(feats)[0]))
+
+    df = pd.DataFrame({"genes": np.array(genes_df.index.values), "ref_preds": np.array(ref_preds_out)})
+    df.to_csv(f"{out_dir}/ref_preds.csv", header=True, index=False)
+    return df
+
+
+def sed_for_top_eqtls(
+    expecto_model_path: str,
+    consensus_dir: str,
+    eur_top_eqtl_genes_csv: str,
+    eqtls_csv: str,
+    runner: BelugaRunner,
+    out_dir: str,
+    *,
+    shifts=None,
+) -> pd.DataFrame:
+    """C20: eQTL SED on consensus backbones with ref-allele validation
+    asserts (geuvadis_sed_for_top_eqtls.py:21-135,201-235)."""
+    os.makedirs(out_dir, exist_ok=True)
+    bst = load_expression_model(expecto_model_path.strip())
+
+    eqtls_df = pd.read_csv(eqtls_csv)
+    all_eqtls_df = pd.read_csv(eur_top_eqtl_genes_csv, names=["ens_id", "chr", "pos", "gene", "strand"])
+    all_eqtls_df["gene"] = all_eqtls_df["gene"].str.lower()
+    all_eqtls_df["gene"] = all_eqtls_df["gene"].fillna(all_eqtls_df["ens_id"].str.lower())
+    eqtls_df["strand"] = pd.merge(eqtls_df, all_eqtls_df, left_on="name", right_on="gene", how="left")["strand"]
+
+    genes, ref_pred_list, alt_pred_list = [], [], []
+    for _, eqtl in eqtls_df.iterrows():
+        gene = str(eqtl["name"]).lower()
+        strand = eqtl["strand"]
+        records = list(parse_fasta(f"{consensus_dir}/{gene}/ref.fa"))
+        if len(records) != 1:
+            raise AssertionError(f"Expected 1 record in ref.fa for {gene}")
+        rec_id, raw_seq = records[0]
+        ref_seq = pad_enformer_seq(rec_id, raw_seq)
+
+        # validate the eQTL table against the consensus record
+        ref_chr = int(rec_id.split("|")[0].split(":")[0].replace("chr", ""))
+        ref_start = int(rec_id.split(":")[1].split("-")[-2] if rec_id.split(":")[1].startswith("-") else rec_id.split(":")[1].split("-")[0])
+        if int(eqtl["CHR_SNP"]) != ref_chr:
+            raise AssertionError("Chromosomes do not match between eQTL df and ref fasta id")
+        if int(eqtl["TSSpos_x"]) != ref_start + len(ref_seq) // 2:
+            raise AssertionError("TSSpos in eQTL file not consistent with fasta record")
+
+        tss_i = len(ref_seq) // 2
+        snp_i = int(tss_i - (eqtl["TSSpos_x"] - eqtl["SNPpos"]))
+        if ref_seq[snp_i] != eqtl["REF"]:
+            raise AssertionError("Ref sequence does not match ref allele")
+        alt_seq = ref_seq[:snp_i] + str(eqtl["ALT"]) + ref_seq[snp_i + 1 :]
+
+        genes.append(eqtl["name"])
+        for seq, bucket in ((ref_seq, ref_pred_list), (alt_seq, alt_pred_list)):
+            codes = consensus_window_codes(seq, strand, shifts=shifts)
+            bucket.append(runner.predict_codes(codes, average_rc=True))
+
+    ref_feats = _match_features(consensus_features(np.stack(ref_pred_list), shifts), bst)
+    alt_feats = _match_features(consensus_features(np.stack(alt_pred_list), shifts), bst)
+    ref_out = bst.predict(ref_feats)
+    alt_out = bst.predict(alt_feats)
+
+    for i, gene in enumerate(genes):
+        preds_dir = f"{out_dir}/{gene}"
+        os.makedirs(preds_dir, exist_ok=True)
+        with h5py.File(f"{preds_dir}/{gene}.h5", "w") as f:
+            f.create_dataset("ref_preds", data=ref_out[i])
+            f.create_dataset("alt_preds", data=alt_out[i])
+
+    return pd.DataFrame({"gene": genes, "ref_pred": ref_out, "alt_pred": alt_out, "sed": alt_out - ref_out})

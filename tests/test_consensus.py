@@ -1,0 +1,214 @@
+"""Consensus pipeline tests with a cheap deterministic fake runner (the
+Beluga/runner stack is covered by test_beluga.py)."""
+
+import os
+
+import h5py
+import numpy as np
+import pandas as pd
+import pytest
+
+from expecto_tpu.genome.encode import codes_to_onehot, reverse_complement_codes
+from expecto_tpu.io.xgb import save_xgb07_binary
+from expecto_tpu.models.gblinear import GBLinearModel
+from expecto_tpu.pipeline.consensus import (
+    ENFORMER_SEQ_LENGTH,
+    parse_fasta,
+    pad_enformer_seq,
+    consensus_window_codes,
+    consensus_features,
+    predict_consensus_genes,
+    predict_ref_all_genes,
+    sed_for_top_eqtls,
+)
+
+N_TRACKS = 2002
+TEST_SHIFTS = [-400, -200, 0, 200]
+
+
+class FakeRunner:
+    """Deterministic stand-in: projects one-hot windows through a fixed
+    random matrix, honoring the fwd/RC-average contract."""
+
+    def __init__(self, seed=0):
+        rng = np.random.default_rng(seed)
+        self.proj = rng.normal(size=(2000 * 4, N_TRACKS)).astype(np.float32) * 0.01
+
+    def _fwd(self, codes):
+        x = codes_to_onehot(codes).reshape(codes.shape[0], -1)
+        return x @ self.proj
+
+    def predict_codes(self, codes, average_rc=False):
+        out = self._fwd(codes)
+        if average_rc:
+            out = (out + self._fwd(reverse_complement_codes(codes))) / 2
+        return out
+
+
+def _write_fasta(path, rec_id, seq, width=80):
+    with open(path, "w") as f:
+        f.write(f">{rec_id}\n")
+        for i in range(0, len(seq), width):
+            f.write(seq[i : i + width] + "\n")
+
+
+def _random_seq(rng, n):
+    return "".join(np.array(list("ACGT"))[rng.integers(0, 4, n)])
+
+
+@pytest.fixture()
+def consensus_tree(tmp_path):
+    """consensus_dir with two genes x two samples + ref.fa, genes_file csv."""
+    rng = np.random.default_rng(0)
+    genes = {"genea": "+", "geneb": "-"}
+    rows = []
+    for gi, (gene, strand) in enumerate(genes.items()):
+        start = 1000 + gi * 500000
+        end = start + ENFORMER_SEQ_LENGTH - 1
+        rec_id = f"chr1:{start}-{end}"
+        os.makedirs(tmp_path / "consensus" / gene / "samples")
+        for sample in ["NA1", "NA2"]:
+            # sample files are named {sample}|-|{haplotype}.fa with interval-only
+            # headers (so merged record ids read chr:span|sample|-|hap)
+            seq = _random_seq(rng, ENFORMER_SEQ_LENGTH)
+            _write_fasta(tmp_path / "consensus" / gene / "samples" / f"{sample}|-|1pIu.fa", rec_id, seq)
+        _write_fasta(tmp_path / "consensus" / gene / "ref.fa", rec_id, _random_seq(rng, ENFORMER_SEQ_LENGTH))
+        rows.append([f"ENSG{gi:011d}", "chr1", start + ENFORMER_SEQ_LENGTH // 2, gene.upper(), strand])
+    genes_file = tmp_path / "genes.csv"
+    pd.DataFrame(rows).to_csv(genes_file, header=False, index=False)
+
+    model_path = tmp_path / "model.save"
+    w = np.random.default_rng(1).normal(size=10 * (N_TRACKS + 1)).astype(np.float32) * 0.001
+    save_xgb07_binary(GBLinearModel(weight=w, bias=0.1, base_score=2.0), model_path)
+    return tmp_path, str(model_path), str(tmp_path / "consensus"), str(genes_file)
+
+
+class TestHelpers:
+    def test_parse_fasta_multirecord(self, tmp_path):
+        p = tmp_path / "x.fa"
+        p.write_text(">a desc\nACGT\nACGT\n>b\nTTTT\n")
+        recs = list(parse_fasta(p))
+        assert recs == [("a", "ACGTACGT"), ("b", "TTTT")]
+
+    def test_pad_start_truncated(self):
+        # interval "-99:N" means the window ran off the chromosome start
+        end = ENFORMER_SEQ_LENGTH - 100 - 1
+        rec = f"chr1:-100-{end}"
+        seq = "ACGT" * 1000
+        padded = pad_enformer_seq(rec, seq)
+        assert len(padded) == ENFORMER_SEQ_LENGTH
+        assert padded.startswith("N") and padded.endswith("ACGT")
+
+    def test_pad_end_truncated(self):
+        rec = f"chr1:1-{ENFORMER_SEQ_LENGTH}"
+        padded = pad_enformer_seq(rec, "ACGT" * 10)
+        assert len(padded) == ENFORMER_SEQ_LENGTH and padded.endswith("N")
+
+    def test_window_codes_strand(self):
+        rng = np.random.default_rng(2)
+        seq = _random_seq(rng, 50000)
+        plus = consensus_window_codes(seq, "+", shifts=[-200, 0, 200])
+        minus = consensus_window_codes(seq, "-", shifts=[-200, 0, 200])
+        # minus strand flips the shift direction only (content not RC'd)
+        np.testing.assert_array_equal(plus[0], minus[2])
+        np.testing.assert_array_equal(plus[1], minus[1])
+        # 0-shift window: seq[tss-999 : tss+1001]
+        tss = len(seq) // 2
+        from expecto_tpu.genome.encode import seqs_to_codes
+
+        np.testing.assert_array_equal(plus[1], seqs_to_codes([seq[tss - 999 : tss + 1001]], 2000)[0])
+
+    def test_consensus_features_oracle(self):
+        rng = np.random.default_rng(3)
+        shifts = np.array(TEST_SHIFTS)
+        preds = rng.normal(size=(3, len(shifts), N_TRACKS))
+        got = consensus_features(preds, TEST_SHIFTS)
+        # literal reference math (geuvadis_predict_consensus.py:110-124)
+        rates = [0.01, 0.02, 0.05, 0.1, 0.2]
+        pw = np.vstack(
+            [np.exp(-r * np.abs(shifts) / 200) * (shifts <= 0) for r in rates]
+            + [np.exp(-r * np.abs(shifts) / 200) * (shifts >= 0) for r in rates]
+        )
+        feats = np.sum(pw[None, :, :, None] * preds[:, None, :, :], axis=2)
+        want = np.concatenate([np.zeros((3, 10, 1)), feats], axis=2).reshape(-1, 10 * (N_TRACKS + 1))
+        np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+class TestPipelines:
+    def test_predict_consensus_genes(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        out = str(tmp_path / "out")
+        done = predict_consensus_genes(model, cdir, gfile, FakeRunner(), out, shifts=TEST_SHIFTS)
+        assert sorted(done) == ["genea", "geneb"]
+        with h5py.File(f"{out}/genea/genea_chromatin.h5") as f:
+            assert f["chromatin_preds"].shape == (2, len(TEST_SHIFTS), N_TRACKS)
+            ids = [x.decode() for x in f["record_ids"]]
+            assert all("|NA" in i for i in ids)
+        with h5py.File(f"{out}/genea/genea.h5") as f:
+            assert f["expecto_preds"].shape == (2,)
+
+        # resume-skip: second run does nothing
+        done2 = predict_consensus_genes(model, cdir, gfile, FakeRunner(), out, shifts=TEST_SHIFTS)
+        assert done2 == []
+
+        # exp_only reuses cached chromatin preds
+        done3 = predict_consensus_genes(
+            model, cdir, gfile, FakeRunner(), out, shifts=TEST_SHIFTS, exp_only=True, overwrite=True
+        )
+        assert sorted(done3) == ["genea", "geneb"]
+
+    def test_chunking(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        out = str(tmp_path / "out_chunk")
+        done = predict_consensus_genes(
+            model, cdir, gfile, FakeRunner(), out, shifts=TEST_SHIFTS, num_chunks=2, chunk_i=1
+        )
+        assert done == ["geneb"]
+
+    def test_ref_all_genes(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        out = str(tmp_path / "ref_out")
+        df = predict_ref_all_genes(model, cdir, gfile, FakeRunner(), out, shifts=TEST_SHIFTS)
+        assert (tmp_path / "ref_out" / "ref_preds.csv").exists()
+        assert list(df.columns) == ["genes", "ref_preds"] and df.shape[0] == 2
+
+    def test_eqtl_sed(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        # build an eqtls table consistent with genea's ref.fa
+        recs = list(parse_fasta(f"{cdir}/genea/ref.fa"))
+        rec_id, seq = recs[0]
+        start = int(rec_id.split(":")[1].split("-")[0])
+        tss_pos = start + ENFORMER_SEQ_LENGTH // 2
+        snp_off = 150
+        snp_pos = tss_pos - snp_off
+        snp_i = ENFORMER_SEQ_LENGTH // 2 - snp_off
+        ref_allele = seq[snp_i]
+        alt_allele = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref_allele]
+        eqtls = pd.DataFrame(
+            [{"name": "genea", "CHR_SNP": 1, "TSSpos_x": tss_pos, "SNPpos": snp_pos, "REF": ref_allele, "ALT": alt_allele}]
+        )
+        eqtls_csv = tmp_path / "eqtls.csv"
+        eqtls.to_csv(eqtls_csv, index=False)
+
+        out = str(tmp_path / "eqtl_out")
+        df = sed_for_top_eqtls(model, cdir, gfile, str(eqtls_csv), FakeRunner(), out, shifts=TEST_SHIFTS)
+        assert df.shape[0] == 1
+        with h5py.File(f"{out}/genea/genea.h5") as f:
+            assert "ref_preds" in f and "alt_preds" in f
+        assert df["sed"].abs().iloc[0] > 0  # allele swap must move the prediction
+
+    def test_eqtl_ref_mismatch_raises(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        recs = list(parse_fasta(f"{cdir}/genea/ref.fa"))
+        rec_id, seq = recs[0]
+        start = int(rec_id.split(":")[1].split("-")[0])
+        tss_pos = start + ENFORMER_SEQ_LENGTH // 2
+        snp_i = ENFORMER_SEQ_LENGTH // 2 - 10
+        wrong_ref = {"A": "C", "C": "A", "G": "T", "T": "G"}[seq[snp_i]]
+        eqtls = pd.DataFrame(
+            [{"name": "genea", "CHR_SNP": 1, "TSSpos_x": tss_pos, "SNPpos": tss_pos - 10, "REF": wrong_ref, "ALT": "A"}]
+        )
+        eqtls_csv = tmp_path / "bad_eqtls.csv"
+        eqtls.to_csv(eqtls_csv, index=False)
+        with pytest.raises(AssertionError, match="does not match ref allele"):
+            sed_for_top_eqtls(model, cdir, gfile, str(eqtls_csv), FakeRunner(), str(tmp_path / "x"), shifts=TEST_SHIFTS)
