@@ -33,7 +33,19 @@ _IDX_SUFFIX = ".etidx.json"
 
 
 def _build_flat(fasta_path: Path, flat_path: Path, idx_path: Path) -> None:
-    """One-time scan: strip headers/newlines into a flat byte file + index."""
+    """One-time scan: strip headers/newlines into a flat byte file + index.
+    Uses the native builder (native/etseq.cc) when available."""
+    from . import native
+
+    if native.available():
+        raw = fasta_path.read_bytes()
+        flat, nidx = native.build_flat(raw)
+        flat_path.write_bytes(flat)
+        tmp = idx_path.with_suffix(".tmp")
+        tmp.write_text(json.dumps({k: [off, ln] for k, (off, ln) in nidx.items()}))
+        os.replace(tmp, idx_path)
+        return
+
     index: dict[str, list[int]] = {}
     offset = 0
     name = None
@@ -92,6 +104,27 @@ class FastaIndex:
     def sequence_dict(self, d: dict) -> str:
         """pyfasta-style call: ``sequence({'chr': c, 'start': a, 'stop': b})``."""
         return self.sequence(d["chr"], d["start"], d["stop"])
+
+    def window_codes(self, chrom: str, starts_1based, window_len: int) -> "np.ndarray":
+        """(n, window_len) int8 base codes for fixed-length windows; positions
+        outside the contig encode as N. Uses the native gather kernel when
+        available, else a numpy loop over mmap slices."""
+        from .encode import _BYTE_LUT, N_CODE
+        from . import native
+
+        off, length = self._index[chrom]
+        starts0 = np.asarray(starts_1based, dtype=np.int64) - 1
+        if native.available():
+            contig = np.frombuffer(self._mmap, dtype=np.uint8, count=length, offset=off)
+            return native.gather_windows(contig, starts0, window_len)
+        out = np.full((starts0.shape[0], window_len), N_CODE, dtype=np.int8)
+        for i, s in enumerate(starts0):
+            lo = max(int(s), 0)
+            hi = min(int(s) + window_len, length)
+            if hi > lo:
+                raw = np.frombuffer(self._mmap, dtype=np.uint8, count=hi - lo, offset=off + lo)
+                out[i, lo - int(s) : lo - int(s) + (hi - lo)] = _BYTE_LUT[raw]
+        return out
 
     def sequence_bytes(self, chrom: str, start: int, stop: int) -> bytes:
         off, length = self._index[chrom]
