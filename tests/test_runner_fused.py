@@ -1,0 +1,72 @@
+"""Runner upgrades: fused on-device projection, fp16 output, pipelining."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+from expecto_tpu.models.convert import state_dict_to_params
+from expecto_tpu.ops.decay import gene_pos_weights, project_features
+from expecto_tpu.parallel.runner import BelugaRunner
+from torch_oracle import TorchBeluga
+
+
+@pytest.fixture(scope="module")
+def params():
+    torch.manual_seed(5)
+    net = TorchBeluga().eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.mul_(0.05)
+    return state_dict_to_params(net.state_dict_reference_keys())
+
+
+def test_predict_and_project_matches_host_projection(params):
+    n_shifts, n_genes = 4, 3
+    shifts = [-400, -200, 0, 200]
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 5, size=(n_genes * n_shifts, 2000), dtype=np.int8)
+    runner = BelugaRunner(params, batch_size=8)
+
+    pos_weights = gene_pos_weights(shifts)
+    fused = runner.predict_and_project(codes, pos_weights, n_shifts)
+
+    preds = runner.predict_codes(codes, average_rc=True).reshape(n_genes, n_shifts, -1)
+    want = np.stack([project_features(pos_weights, preds[g][:, None, :])[0] for g in range(n_genes)])
+    np.testing.assert_allclose(fused, want, rtol=1e-4, atol=1e-6)
+
+
+def test_fp16_output_close_to_fp32(params):
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, size=(5, 2000), dtype=np.int8)
+    r32 = BelugaRunner(params, batch_size=8)
+    r16 = BelugaRunner(params, batch_size=8, out_dtype=np.float16)
+    y32 = r32.predict_codes(codes)
+    y16 = r16.predict_codes(codes)
+    assert y16.dtype == np.float16
+    np.testing.assert_allclose(y16, y32, atol=5e-4)
+
+
+def test_pipelining_preserves_order(params):
+    rng = np.random.default_rng(2)
+    codes = rng.integers(0, 5, size=(23, 2000), dtype=np.int8)
+    deep = BelugaRunner(params, batch_size=4, pipeline_depth=5)
+    shallow = BelugaRunner(params, batch_size=4, pipeline_depth=1)
+    np.testing.assert_allclose(deep.predict_codes(codes), shallow.predict_codes(codes), atol=1e-6)
+
+
+def test_projection_batch_spill(params):
+    """More genes than fit one device batch: results must be identical."""
+    n_shifts = 4
+    shifts = [-400, -200, 0, 200]
+    rng = np.random.default_rng(3)
+    codes = rng.integers(0, 5, size=(6 * n_shifts, 2000), dtype=np.int8)
+    pos_weights = gene_pos_weights(shifts)
+    small = BelugaRunner(params, batch_size=8)  # 2 genes/batch
+    big = BelugaRunner(params, batch_size=64)
+    np.testing.assert_allclose(
+        small.predict_and_project(codes, pos_weights, n_shifts),
+        big.predict_and_project(codes, pos_weights, n_shifts),
+        rtol=1e-4, atol=1e-6,
+    )
