@@ -29,32 +29,48 @@ WINDOWS_PER_VARIANT = 36
 BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cpu_baseline.json")
 
 
-def measure_tpu_windows_per_sec(params, *, batch_size: int, n_batches: int = 8) -> float:
-    """Production chromatin-scoring path: bf16 compute, device-side fwd/RC
-    averaging (2 forwards per shipped row, the form every consumer uses —
-    predict.py:183-194), float16 fetch, pipelined batches. Returns forward
-    passes (windows) per second."""
+def measure_tpu_variants_per_sec(params, *, n_variants: int, maxshift: int = 800, n_models: int = 218) -> float:
+    """Production SED-serving path: per variant, one spliced span per allele
+    (span-amortized conv, windows as slices — ops/spans.py), fwd+RC averaged
+    on device, decay-basis projection and all 218 tissue models' predictions
+    fused on device (one matmul); only per-model REF/ALT scalars are
+    fetched. This covers the reference's full chromatin.py + predict.py
+    compute per variant (36 Beluga forward-equivalents + feature reduction +
+    modellist scoring)."""
     import jax
     import jax.numpy as jnp
 
+    from expecto_tpu.genome.windows import variant_shifts
+    from expecto_tpu.ops.decay import variant_basis
     from expecto_tpu.parallel.runner import BelugaRunner
 
     runner = BelugaRunner(
         params,
-        batch_size=batch_size,
+        batch_size=2048,  # windows-equivalent; ~227 spans of 9 windows per batch
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
         out_dtype=np.float16,
         pipeline_depth=6,
     )
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
     rng = np.random.default_rng(0)
-    codes = rng.integers(0, 5, size=(n_batches * batch_size, 2000), dtype=np.int8)
+    ref_spans = rng.integers(0, 5, size=(n_variants, span_len), dtype=np.int8)
+    alt_spans = ref_spans.copy()
+    alt_spans[:, span_len // 2] = (alt_spans[:, span_len // 2] + 1) % 4
+    dists = rng.integers(-20000, 20000, size=n_variants)
+    strands = rng.choice(["+", "-"], size=n_variants)
+    basis = variant_basis(dists, strands, shifts).astype(np.float32)
+    W = (rng.standard_normal((20020, n_models)) * 0.01).astype(np.float32)
+    bias = np.zeros(n_models, np.float32)
 
-    runner.predict_codes(codes[:batch_size], average_rc=True)  # compile + warmup
+    k = min(64, n_variants)
+    runner.score_variant_spans(ref_spans[:k], alt_spans[:k], offsets, basis[:, :k], W, bias)  # compile
     t0 = time.perf_counter()
-    runner.predict_codes(codes, average_rc=True)
+    runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
     dt = time.perf_counter() - t0
-    return 2 * n_batches * batch_size / dt  # each row = fwd + RC forward
+    return n_variants / dt
 
 
 def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows: int = 32) -> float:
@@ -105,9 +121,8 @@ def main() -> None:
     import jax
 
     platform = jax.devices()[0].platform
-    batch_size = 2048 if platform != "cpu" else 64
-    n_batches = 12 if platform != "cpu" else 1
-    tpu_wps = measure_tpu_windows_per_sec(params, batch_size=batch_size, n_batches=n_batches)
+    n_variants = 4096 if platform != "cpu" else 32
+    tpu_vps = measure_tpu_variants_per_sec(params, n_variants=n_variants)
 
     if os.path.exists(BASELINE_CACHE):
         with open(BASELINE_CACHE) as f:
@@ -117,7 +132,7 @@ def main() -> None:
         with open(BASELINE_CACHE, "w") as f:
             json.dump({"cpu_windows_per_sec": cpu_wps}, f)
 
-    value = tpu_wps / WINDOWS_PER_VARIANT
+    value = tpu_vps
     baseline = cpu_wps / WINDOWS_PER_VARIANT
     print(
         json.dumps(

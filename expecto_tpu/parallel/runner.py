@@ -29,6 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
+from ..ops.spans import beluga_forward_spans
 from .mesh import DATA_AXIS, get_mesh
 
 
@@ -105,6 +106,65 @@ class BelugaRunner:
 
         self._forward_project = _forward_project
 
+        @functools.partial(jax.jit, static_argnames=("offsets", "rc_mode"))
+        def _forward_spans(params, span_codes, offsets, rc_mode: str):
+            # span_codes: (N, span_len) -> (N, n_offsets, 2002), conv work
+            # shared across the overlapping shift windows (ops/spans.py)
+            x = onehot_from_codes(span_codes, dtype=compute_dtype)
+            y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+            if rc_mode == "none":
+                return y.astype(jnp_out)
+            extra = span_codes.shape[1] - 2000
+            rc_offsets = tuple(extra - o for o in offsets)
+            y_rc_mirror = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_offsets, precision=precision).astype(jnp.float32)
+            # rc window of offset o sits at mirrored offset in the RC span;
+            # rc_offsets[i] corresponds to offsets[i] directly
+            if rc_mode == "average":
+                return ((y + y_rc_mirror) * 0.5).astype(jnp_out)
+            if rc_mode == "concat":
+                return jnp.stack([y, y_rc_mirror], axis=1).astype(jnp_out)  # (N, 2, O, M)
+            raise ValueError(rc_mode)
+
+        self._forward_spans = _forward_spans
+
+        @functools.partial(jax.jit, static_argnames=("offsets",))
+        def _forward_spans_project(params, span_codes, pos_weights, offsets):
+            x = onehot_from_codes(span_codes, dtype=compute_dtype)
+            y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+            extra = span_codes.shape[1] - 2000
+            rc_offsets = tuple(extra - o for o in offsets)
+            y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_offsets, precision=precision).astype(jnp.float32)
+            preds = (y + y_rc) * 0.5  # (N, O, M)
+            feats = jnp.einsum("bs,nsm->nbm", pos_weights.astype(jnp.float32), preds)
+            return feats.reshape(preds.shape[0], -1)
+
+        self._forward_spans_project = _forward_spans_project
+
+        @functools.partial(jax.jit, static_argnames=("offsets",))
+        def _score_spans(params, ref_spans, alt_spans, basis, W, bias, offsets):
+            # Fully fused SED serving: spans -> shared-conv windows -> fwd/RC
+            # average -> per-(variant,gene) decay features -> all expression
+            # models in one matmul. Ships only per-model scalars off device.
+            #   basis: (S, N, B) floored decay basis (variant path)
+            #   W: (B*M, K) stacked model weights; bias: (K,) incl base_score
+            def preds_of(spans):
+                x = onehot_from_codes(spans, dtype=compute_dtype)
+                y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+                extra = spans.shape[1] - 2000
+                rc_off = tuple(extra - o for o in offsets)
+                y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_off, precision=precision).astype(jnp.float32)
+                return (y + y_rc) * 0.5  # (N, S, M)
+
+            def feats(p):
+                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
+                return f.reshape(p.shape[0], -1)
+
+            REF = feats(preds_of(ref_spans)) @ W + bias
+            ALT = feats(preds_of(alt_spans)) @ W + bias
+            return REF, ALT
+
+        self._score_spans = _score_spans
+
     def _batches(self, codes: np.ndarray):
         n = codes.shape[0]
         for start in range(0, n, self.batch_size):
@@ -135,6 +195,120 @@ class BelugaRunner:
         for s, r, yy in in_flight:
             out[s : s + r] = np.asarray(yy)[:r]
         return out
+
+    def _span_batches(self, span_codes: np.ndarray, rows: int):
+        n = span_codes.shape[0]
+        for start in range(0, n, rows):
+            chunk = span_codes[start : start + rows]
+            real = chunk.shape[0]
+            if real != rows:
+                chunk = np.pad(chunk, ((0, rows - real), (0, 0)))
+            yield start, real, chunk
+
+    def _span_rows(self, n_offsets: int) -> int:
+        rows = max(self.batch_size // n_offsets, 1)
+        n_dev = self.mesh.devices.size
+        while rows % n_dev:
+            rows += 1
+        return rows
+
+    def predict_span_codes(self, span_codes: np.ndarray, offsets, *, rc_mode: str = "none") -> np.ndarray:
+        """Span-amortized forward: (N, span_len) int8 codes -> per-window
+        predictions for windows span[o : o+2000] at each offset.
+
+        rc_mode: 'none' -> (N, O, 2002); 'average' -> fwd/RC averaged
+        (N, O, 2002); 'concat' -> (N, 2, O, 2002) with fwd at [:,0], RC at
+        [:,1].
+        """
+        span_codes = np.asarray(span_codes, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n = span_codes.shape[0]
+        rows = self._span_rows(len(offsets))
+        shape = (n, 2, len(offsets), 2002) if rc_mode == "concat" else (n, len(offsets), 2002)
+        out = np.empty(shape, dtype=self.out_dtype)
+        in_flight = []
+        for start, real, chunk in self._span_batches(span_codes, rows):
+            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+            y = self._forward_spans(self.params, dev, offsets, rc_mode)
+            in_flight.append((start, real, y))
+            if len(in_flight) >= self.pipeline_depth:
+                s0, r0, yy = in_flight.pop(0)
+                out[s0 : s0 + r0] = np.asarray(yy)[:r0]
+        for s0, r0, yy in in_flight:
+            out[s0 : s0 + r0] = np.asarray(yy)[:r0]
+        return out
+
+    def predict_spans_project(self, span_codes: np.ndarray, offsets, pos_weights: np.ndarray) -> np.ndarray:
+        """Gene path fully fused: spans -> shared-conv windows -> fwd/RC
+        average -> decay projection, all on device. (N, span_len) ->
+        (N, n_basis*2002) float32 features."""
+        span_codes = np.asarray(span_codes, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        pw = jnp.asarray(pos_weights)
+        n = span_codes.shape[0]
+        rows = self._span_rows(len(offsets))
+        out = np.empty((n, pos_weights.shape[0] * 2002), dtype=np.float32)
+        in_flight = []
+        for start, real, chunk in self._span_batches(span_codes, rows):
+            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+            feats = self._forward_spans_project(self.params, dev, pw, offsets)
+            in_flight.append((start, real, feats))
+            if len(in_flight) >= self.pipeline_depth:
+                s0, r0, ff = in_flight.pop(0)
+                out[s0 : s0 + r0] = np.asarray(ff)[:r0]
+        for s0, r0, ff in in_flight:
+            out[s0 : s0 + r0] = np.asarray(ff)[:r0]
+        return out
+
+    def score_variant_spans(
+        self,
+        ref_spans: np.ndarray,
+        alt_spans: np.ndarray,
+        offsets,
+        basis: np.ndarray,
+        W: np.ndarray,
+        bias: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fused SED serving: (N, span_len) ref/alt spans + (S, N, B) decay
+        basis + stacked model weights (F, K) -> (REF, ALT) of shape (N, K).
+        Only per-model scalars leave the device (~3 KB/variant for the full
+        218-tissue modellist vs ~144 KB of track outputs)."""
+        ref_spans = np.asarray(ref_spans, dtype=np.int8)
+        alt_spans = np.asarray(alt_spans, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n = ref_spans.shape[0]
+        k = W.shape[1]
+        rows = self._span_rows(len(offsets))
+        W_dev = jnp.asarray(W, dtype=jnp.float32)
+        bias_dev = jnp.asarray(bias, dtype=jnp.float32)
+        REF = np.empty((n, k), dtype=np.float32)
+        ALT = np.empty((n, k), dtype=np.float32)
+        in_flight = []
+        for start in range(0, n, rows):
+            end = min(start + rows, n)
+            real = end - start
+            pad = rows - real
+            r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
+            a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
+            b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
+            out = self._score_spans(
+                self.params,
+                jax.device_put(jnp.asarray(r_chunk), self._batch_sharding),
+                jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                jnp.asarray(b_chunk),
+                W_dev,
+                bias_dev,
+                offsets,
+            )
+            in_flight.append((start, real, out))
+            if len(in_flight) >= self.pipeline_depth:
+                s0, r0, (rr, aa) = in_flight.pop(0)
+                REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
+                ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+        for s0, r0, (rr, aa) in in_flight:
+            REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
+            ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+        return REF, ALT
 
     def predict_codes_fwd_rc_concat(self, codes: np.ndarray) -> np.ndarray:
         """Reference-layout output: rows [0:N] forward, [N:2N] reverse

@@ -7,10 +7,14 @@ and emit per-shift ``.diff.h5`` files (datasets diff/ref/alt; rows [0:N]
 forward, [N:2N] reverse complement).
 
 TPU-first restructuring vs the reference:
-    - windows for *all* shifts are materialized host-side as int8 codes and
-      streamed through one fixed-shape jitted forward (no per-batch
-      host<->device round trips, no recompiles);
-    - ref and alt batches are fused into one device batch per shift;
+    - **span amortization**: the 9 shift windows of one allele overlap by up
+      to 90%; for substitution variants one spliced 2*maxshift+2000 bp span
+      is encoded per allele and the conv stack runs once over it, windows
+      taken as slices (ops/spans.py) — ~5x fewer conv FLOPs. Indels fall
+      back to the per-window path (their center-crop interacts with allele
+      length, chromatin.py:209 + expecto_utils.py:31).
+    - windows ship as int8 codes through one fixed-shape jitted forward (no
+      per-batch host<->device round trips, no recompiles);
     - the batch axis shards over the device mesh (replacing the
       ``--chunk_i`` filesystem data-parallelism for the in-memory path —
       chunk flags are still honored for file-level parity).
@@ -42,6 +46,77 @@ class ChromatinResult:
     arrays: dict | None = None
 
 
+def _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose):
+    """Shift-0 ref/alt genome-match counts (reference chromatin.py:256-260)."""
+    ref_matched = alt_matched = 0
+    for i in range(len(chroms)):
+        w = fetch_variant_window(genome, chroms[i], positions[i], refs[i], alts[i], shift=0, inputsize=inputsize)
+        ref_matched += w.ref_matched
+        alt_matched += w.alt_matched
+    if verbose:
+        print(f"Number of variants with reference allele matched with reference genome: {ref_matched}")
+        print(f"Number of variants with alternate allele matched with reference genome: {alt_matched}")
+        print(f"Number of input variants: {len(chroms)}")
+    return ref_matched, alt_matched
+
+
+def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
+    """Substitution fast path: one spliced span per allele, conv shared
+    across shifts. Returns {shift: (ref_rows, alt_rows)} with the reference
+    row layout [fwd; rc]."""
+    n = len(chroms)
+    half = int((inputsize + 100) / 2 - 1) - 50  # = inputsize/2 - 1 after center crop
+    span_len = 2 * maxshift + inputsize
+    offsets = tuple(s + maxshift for s in shifts)
+    mutpos = maxshift + half  # 0-based index of `pos` within the span
+
+    starts = [positions[i] - maxshift - half for i in range(n)]
+    ref_spans = np.empty((n, span_len), dtype=np.int8)
+    alt_spans = np.empty((n, span_len), dtype=np.int8)
+    for i in range(n):
+        span = genome.window_codes(chroms[i], [starts[i]], span_len)[0]
+        ref_codes = seqs_to_codes([refs[i]], len(refs[i]))[0]
+        alt_codes = seqs_to_codes([alts[i]], len(alts[i]))[0]
+        ref_spans[i] = span
+        ref_spans[i, mutpos : mutpos + len(refs[i])] = ref_codes
+        alt_spans[i] = span
+        alt_spans[i, mutpos : mutpos + len(alts[i])] = alt_codes
+
+    both = np.concatenate([ref_spans, alt_spans], axis=0)
+    preds = runner.predict_span_codes(both, offsets, rc_mode="concat")  # (2n, 2, S, M)
+    out = {}
+    for si, shift in enumerate(shifts):
+        ref_rows = np.concatenate([preds[:n, 0, si], preds[:n, 1, si]], axis=0).astype(np.float32)
+        alt_rows = np.concatenate([preds[n:, 0, si], preds[n:, 1, si]], axis=0).astype(np.float32)
+        out[shift] = (ref_rows, alt_rows)
+    return out
+
+
+def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize):
+    """General path (indels): per-shift window fetch + splice (reference
+    semantics), fused ref/alt/fwd/rc device batches."""
+    n = len(chroms)
+    out = {}
+    for shift in shifts:
+        ref_seqs, alt_seqs = [], []
+        for i in range(n):
+            w = fetch_variant_window(genome, chroms[i], positions[i], refs[i], alts[i], shift=shift, inputsize=inputsize)
+            ref_seqs.append(w.ref_seq)
+            alt_seqs.append(w.alt_seq)
+        ref_codes = seqs_to_codes(ref_seqs, inputsize)
+        alt_codes = seqs_to_codes(alt_seqs, inputsize)
+        fused = np.concatenate(
+            [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
+            axis=0,
+        )
+        preds = runner.predict_codes(fused).astype(np.float32)
+        out[shift] = (
+            np.concatenate([preds[:n], preds[2 * n : 3 * n]], axis=0),
+            np.concatenate([preds[n : 2 * n], preds[3 * n :]], axis=0),
+        )
+    return out
+
+
 def compute_variant_chromatin_effects(
     vcf: pd.DataFrame,
     genome: FastaIndex,
@@ -52,6 +127,7 @@ def compute_variant_chromatin_effects(
     inputsize: int = 2000,
     output_prefix: str = "snps",
     keep_arrays: bool = False,
+    use_spans: str = "auto",
     verbose: bool = True,
 ) -> ChromatinResult:
     """Run the full per-shift chromatin-effect computation.
@@ -64,12 +140,11 @@ def compute_variant_chromatin_effects(
             skip writing).
         keep_arrays: also return in-memory arrays (for fused SED scoring
             without the HDF5 round-trip).
+        use_spans: 'auto' (span path for substitution-only VCFs), 'always',
+            or 'never'.
     """
     shifts = variant_shifts(maxshift)
     n = vcf.shape[0]
-    arrays: dict = {}
-    ref_matched = alt_matched = 0
-
     chroms = vcf.iloc[:, 0].astype(str).values
     positions = vcf.iloc[:, 1].astype(int).values
     refs = vcf.iloc[:, 3].astype(str).values
@@ -78,41 +153,26 @@ def compute_variant_chromatin_effects(
     if output_dir is not None:
         os.makedirs(output_dir, exist_ok=True)
 
-    result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=0, alt_matched=0)
+    ref_matched, alt_matched = _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose)
+    result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=ref_matched, alt_matched=alt_matched)
 
+    all_substitutions = all(len(r) == len(a) for r, a in zip(refs, alts))
+    span_capable = hasattr(runner, "predict_span_codes")
+    if use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
+        per_shift = _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize)
+    else:
+        per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
+
+    arrays: dict = {}
     for shift in shifts:
-        ref_seqs, alt_seqs = [], []
-        matched_r = matched_a = 0
-        for i in range(n):
-            w = fetch_variant_window(genome, chroms[i], positions[i], refs[i], alts[i], shift=shift, inputsize=inputsize)
-            ref_seqs.append(w.ref_seq)
-            alt_seqs.append(w.alt_seq)
-            matched_r += w.ref_matched
-            matched_a += w.alt_matched
-        if shift == 0:
-            result.ref_matched, result.alt_matched = matched_r, matched_a
-            if verbose:
-                print(f"Number of variants with reference allele matched with reference genome: {matched_r}")
-                print(f"Number of variants with alternate allele matched with reference genome: {matched_a}")
-                print(f"Number of input variants: {n}")
-
-        # one fused device batch: [ref fwd | alt fwd | ref rc | alt rc]
-        ref_codes = seqs_to_codes(ref_seqs, inputsize)
-        alt_codes = seqs_to_codes(alt_seqs, inputsize)
-        fused = np.concatenate(
-            [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
-            axis=0,
-        )
-        preds = runner.predict_codes(fused)
-        ref_preds = np.concatenate([preds[:n], preds[2 * n : 3 * n]], axis=0)  # fwd, rc
-        alt_preds = np.concatenate([preds[n : 2 * n], preds[3 * n :]], axis=0)
-        diff = alt_preds - ref_preds
-
+        ref_rows, alt_rows = per_shift[shift]
+        diff = alt_rows - ref_rows
         if output_dir is not None:
-            write_shift_h5(os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5"), diff, ref_preds, alt_preds)
+            write_shift_h5(
+                os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5"), diff, ref_rows, alt_rows
+            )
         if keep_arrays:
-            arrays[shift] = (diff, ref_preds, alt_preds)
-
+            arrays[shift] = (diff, ref_rows, alt_rows)
     if keep_arrays:
         result.arrays = arrays
     return result

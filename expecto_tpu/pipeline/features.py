@@ -81,6 +81,26 @@ def records_from_geneanno(geneanno: pd.DataFrame, tss_col: str = "CAGE_represent
     ]
 
 
+def gene_span_and_offsets(
+    genome: FastaIndex,
+    chrom: str,
+    tss: int,
+    strand: int,
+    *,
+    windowsize: int = 2000,
+    shifts: list[int] | None = None,
+):
+    """(span_codes, window offsets) for one gene — the raw material of the
+    span-amortized forward (ops/spans.py). Window at offsets[i] ==
+    gene_shift_window_bounds(tss, strand, shifts[i])."""
+    shifts = gene_shifts() if shifts is None else shifts
+    starts = [gene_shift_window_bounds(tss, strand, s, windowsize)[0] for s in shifts]
+    lo = min(starts)
+    span_len = max(starts) - lo + windowsize
+    span = genome.window_codes(chrom, [lo], span_len)[0]
+    return span, tuple(st - lo for st in starts)
+
+
 def compute_gene_features(
     genes: list[GeneRecord],
     genome: FastaIndex,
@@ -102,6 +122,7 @@ def compute_gene_features(
     n_shifts = len(shifts)
     features = np.empty((len(genes), pos_weights.shape[0] * 2002), dtype=np.float32)
 
+    use_spans = hasattr(runner, "predict_spans_project")
     use_fused = hasattr(runner, "predict_and_project")
     iterator = range(0, len(genes), genes_per_chunk)
     if progress:
@@ -110,6 +131,23 @@ def compute_gene_features(
         iterator = tqdm(list(iterator))
     for start in iterator:
         chunk = genes[start : start + genes_per_chunk]
+        if use_spans:
+            # span-amortized + fully fused: conv stack runs once per ~42 kb
+            # span (~20x fewer conv FLOPs than per-window), projection on
+            # device, only (G, 20020) features ship to host. Offsets depend
+            # only on strand -> at most two jit signatures.
+            by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+            for j, g in enumerate(chunk):
+                span, offsets = gene_span_and_offsets(
+                    genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts
+                )
+                by_offsets.setdefault(offsets, []).append((start + j, span))
+            for offsets, items in by_offsets.items():
+                rows = np.stack([sp for _, sp in items])
+                feats = runner.predict_spans_project(rows, offsets, pos_weights)
+                for (idx, _), f in zip(items, feats):
+                    features[idx] = f
+            continue
         codes = np.concatenate(
             [gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts) for g in chunk],
             axis=0,

@@ -194,6 +194,94 @@ def score_sed(
     return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
 
 
+def score_sed_serving(
+    vcf: pd.DataFrame,
+    gene: pd.DataFrame,
+    genome,
+    runner,
+    model_paths: list[str],
+    *,
+    maxshift: int = 800,
+    inputsize: int = 2000,
+    fixeddist: int = 0,
+    model_names: list[str] | None = None,
+    output_csv: str | os.PathLike | None = None,
+) -> pd.DataFrame:
+    """End-to-end fused SED serving: VCF -> spans -> Beluga (span-amortized,
+    conv shared across shifts) -> on-device decay projection -> all models in
+    one matmul -> REF/ALT/SED per (variant, gene, model).
+
+    Replaces the reference's two-script chromatin.py -> predict.py flow with
+    one device-resident pass: no per-shift h5 intermediates, only per-model
+    scalars leave the accelerator. Substitution variants only (indels take
+    the h5 path via compute_variant_chromatin_effects + score_sed).
+    """
+    from ..genome.encode import seqs_to_codes
+    from ..genome.windows import variant_shifts as _shifts_fn
+
+    refs = vcf.iloc[:, 3].astype(str).values
+    alts = vcf.iloc[:, 4].astype(str).values
+    if not all(len(r) == len(a) for r, a in zip(refs, alts)):
+        raise ValueError("score_sed_serving handles substitution variants only")
+
+    # align (variant, gene) rows exactly like the h5 path
+    dummy = {"diff": np.zeros((1, vcf.shape[0], 1), np.float32)}
+    inputs = align_variants_with_genes(vcf, gene, dummy, fixeddist)
+
+    shifts = _shifts_fn(maxshift)
+    offsets = tuple(sh + maxshift for sh in shifts)
+    span_len = 2 * maxshift + inputsize
+    half = int(inputsize / 2 - 1)
+    mutpos = maxshift + half
+
+    chroms = inputs.coor.iloc[:, 0].astype(str).values
+    positions = inputs.coor.iloc[:, 1].astype(int).values
+    row_refs = inputs.coor.iloc[:, 3].astype(str).values
+    row_alts = inputs.coor.iloc[:, 4].astype(str).values
+    n = len(positions)
+
+    ref_spans = np.empty((n, span_len), dtype=np.int8)
+    alt_spans = np.empty((n, span_len), dtype=np.int8)
+    for i in range(n):
+        span = genome.window_codes(chroms[i], [positions[i] - maxshift - half], span_len)[0]
+        ref_spans[i] = span
+        ref_spans[i, mutpos : mutpos + len(row_refs[i])] = seqs_to_codes([row_refs[i]], len(row_refs[i]))[0]
+        alt_spans[i] = span
+        alt_spans[i, mutpos : mutpos + len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
+
+    basis = variant_basis(inputs.dist, inputs.strand, shifts)  # (S, n, 10)
+
+    models = [load_expression_model(p) for p in model_paths]
+    n_feats = {m.n_features for m in models}
+    if len(n_feats) != 1:
+        raise ValueError(f"models disagree on feature count: {sorted(n_feats)}")
+    nf = n_feats.pop()
+    if nf == N_BASIS * 2002:
+        W = np.stack([m.weight for m in models], axis=1)
+    elif nf == N_BASIS * 2003:  # legacy layout: drop the per-basis zero column
+        W = np.stack(
+            [m.weight.reshape(N_BASIS, 2003)[:, 1:].reshape(-1) for m in models], axis=1
+        )
+    else:
+        raise ValueError(f"unsupported model feature count {nf}")
+    bias = np.array([m.bias + m.base_score for m in models], dtype=np.float32)
+
+    REF, ALT = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+
+    df = inputs.coor.copy()
+    df["dist"] = inputs.dist
+    df["gene"] = inputs.genename
+    df["strand"] = inputs.strand
+    names = model_names or [os.path.basename(p) for p in model_paths]
+    for j, name in enumerate(names):
+        df[f"REF_{name}"] = REF[:, j]
+        df[f"ALT_{name}"] = ALT[:, j]
+        df[name] = ALT[:, j] - REF[:, j]
+    if output_csv is not None:
+        df.to_csv(output_csv, header=True, index=False)
+    return df
+
+
 def score_sed_with_clusters(
     effects: dict[str, np.ndarray],
     coor: pd.DataFrame,

@@ -1,0 +1,149 @@
+"""Span-amortized forward == per-window forward (up to fp reduction order)."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from expecto_tpu.models.beluga import beluga_forward
+from expecto_tpu.models.convert import state_dict_to_params
+from expecto_tpu.ops.spans import beluga_forward_spans, span_offsets_for_shifts
+from torch_oracle import TorchBeluga
+
+
+@pytest.fixture(scope="module")
+def params():
+    torch.manual_seed(21)
+    net = TorchBeluga().eval()
+    with torch.no_grad():
+        for p in net.parameters():
+            p.mul_(0.08)
+    return jax.tree.map(jnp.asarray, state_dict_to_params(net.state_dict_reference_keys()))
+
+
+@pytest.mark.parametrize("shifts", [[0, -200, 200], [0, -200, -400, -600, -800, 200, 400, 600, 800]])
+def test_variant_span_matches_per_window(params, shifts):
+    offsets, extra = span_offsets_for_shifts(shifts)
+    span_len = 2000 + extra
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 5, size=(2, span_len))
+    spans = jnp.asarray(np.eye(5, 4, dtype=np.float32)[codes])
+
+    got = np.asarray(beluga_forward_spans(params, spans, offsets))
+    for i, o in enumerate(offsets):
+        win = spans[:, o : o + 2000, :]
+        want = np.asarray(beluga_forward(params, win))
+        np.testing.assert_allclose(got[:, i, :], want, atol=2e-5, rtol=1e-4)
+
+
+def test_pool_phase_2_offsets(params):
+    """Offsets whose o//4 is ≡ 2 (mod 4) exercise the second pooling phase."""
+    offsets = [0, 200, 400]  # o//4 = 0, 50, 100 -> mod 4 = 0, 2, 0
+    span_len = 2000 + 400
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 5, size=(1, span_len))
+    spans = jnp.asarray(np.eye(5, 4, dtype=np.float32)[codes])
+    got = np.asarray(beluga_forward_spans(params, spans, offsets))
+    for i, o in enumerate(offsets):
+        want = np.asarray(beluga_forward(params, spans[:, o : o + 2000, :]))
+        np.testing.assert_allclose(got[:, i, :], want, atol=2e-5, rtol=1e-4)
+
+
+def test_unaligned_offset_raises(params):
+    spans = jnp.zeros((1, 2100, 4))
+    with pytest.raises(ValueError, match="not aligned"):
+        beluga_forward_spans(params, spans, [2])
+
+
+class TestPipelineSpanPaths:
+    def test_chromatin_span_equals_window_path(self, tiny_genome, params, tmp_path):
+        import pandas as pd
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+
+        fa, contigs = tiny_genome
+        rows = []
+        for pos in [5000, 21000]:
+            ref = contigs["chr1"][pos - 1]
+            alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+            rows.append(["chr1", pos, ".", ref, alt])
+        vcf = pd.DataFrame(rows)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        span = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=400, keep_arrays=True, use_spans="always", verbose=False
+        )
+        win = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=400, keep_arrays=True, use_spans="never", verbose=False
+        )
+        assert span.shifts == win.shifts
+        for shift in span.shifts:
+            for a, b in zip(span.arrays[shift], win.arrays[shift]):
+                np.testing.assert_allclose(a, b, atol=3e-5)
+
+    def test_gene_features_span_equals_fused(self, tiny_genome, params):
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.features import (
+            GeneRecord,
+            gene_span_and_offsets,
+            gene_window_codes,
+        )
+        from expecto_tpu.ops.decay import gene_pos_weights
+
+        fa, _ = tiny_genome
+        shifts = [-400, -200, 0, 200]
+        pos_weights = gene_pos_weights(shifts)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=16)
+        for strand in (1, -1):
+            span, offsets = gene_span_and_offsets(fa, "chr1", 30000, strand, shifts=shifts)
+            feats_span = runner.predict_spans_project(span[None], offsets, pos_weights)
+            codes = gene_window_codes(fa, "chr1", 30000, strand, shifts=shifts)
+            feats_win = runner.predict_and_project(codes, pos_weights, len(shifts))
+            np.testing.assert_allclose(feats_span, feats_win, rtol=1e-4, atol=3e-5)
+
+
+class TestServing:
+    def test_serving_matches_h5_path(self, tiny_genome, params):
+        import pandas as pd
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.models.gblinear import GBLinearModel
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+        from expecto_tpu.pipeline.sed import score_sed, score_sed_serving
+        import tempfile, os
+
+        fa, contigs = tiny_genome
+        rows, gene_rows = [], []
+        for pos in [7000, 24000]:
+            ref = contigs["chr1"][pos - 1]
+            alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+            rows.append(["chr1", pos, ".", ref, alt])
+            gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 8999, 9000, "+", "G1", 9000 - pos])
+        vcf = pd.DataFrame(rows)
+        gene = pd.DataFrame(gene_rows)
+
+        rng = np.random.default_rng(4)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32), bias=0.2, base_score=2.0)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        with tempfile.TemporaryDirectory() as td:
+            save_xgb07_binary(model, os.path.join(td, "m.save"))
+            res = compute_variant_chromatin_effects(
+                vcf, fa, runner, None, maxshift=400, keep_arrays=True, verbose=False
+            )
+            effects = {
+                k: np.stack([res.arrays[s][i] for s in res.shifts], axis=0)
+                for i, k in [(1, "ref"), (2, "alt"), (0, "diff")]
+            }
+            # average fwd/rc halves as the h5 reader would
+            effects = {k: (v[:, :2] + v[:, 2:]) / 2 for k, v in effects.items()}
+            h5_res = score_sed(effects, vcf, gene, model, maxshift=400)
+
+            serving = score_sed_serving(
+                vcf, gene, fa, runner, [os.path.join(td, "m.save")], maxshift=400
+            )
+        name = "m.save"
+        np.testing.assert_allclose(serving[name].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5)
+        np.testing.assert_allclose(serving[f"REF_{name}"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4)
