@@ -38,6 +38,24 @@ def onehot_from_codes(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
     return jax.nn.one_hot(codes, 4, dtype=dtype)
 
 
+def pack_codes(codes: np.ndarray) -> np.ndarray:
+    """Pack two int8 base codes (0..4) per byte for host->device transfer
+    (2x fewer bytes over the wire). Pads odd lengths with code 4 (N)."""
+    n, l = codes.shape
+    if l % 2:
+        codes = np.concatenate([codes, np.full((n, 1), 4, np.int8)], axis=1)
+    pairs = codes.reshape(n, -1, 2).astype(np.uint8)
+    return pairs[:, :, 0] * 16 + pairs[:, :, 1]
+
+
+def unpack_codes(packed: jax.Array, length: int) -> jax.Array:
+    """Device-side inverse of :func:`pack_codes` -> (N, length) int8 codes."""
+    hi = packed // 16
+    lo = packed % 16
+    codes = jnp.stack([hi, lo], axis=-1).reshape(packed.shape[0], -1)
+    return codes[:, :length].astype(jnp.int8)
+
+
 def rc_onehot(x: jax.Array) -> jax.Array:
     """Reverse complement of a one-hot batch: flip positions and channels
     (valid under AGCT channel order; reference expecto_utils.py:37)."""
@@ -164,6 +182,35 @@ class BelugaRunner:
             return REF, ALT
 
         self._score_spans = _score_spans
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
+        def _score_spans_packed(params, packed_ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
+            # Transfer-optimized serving: one 4-bit-packed span per variant;
+            # the alt span is spliced on device (alt_allele: (N, A) codes,
+            # -1 entries keep the reference base).
+            ref = unpack_codes(packed_ref, span_len)
+            a_len = alt_allele.shape[1]
+            patch = jax.lax.dynamic_slice_in_dim(ref, mutpos, a_len, axis=1)
+            patch = jnp.where(alt_allele >= 0, alt_allele.astype(jnp.int8), patch)
+            alt = jax.lax.dynamic_update_slice_in_dim(ref, patch, mutpos, axis=1)
+
+            def preds_of(spans):
+                x = onehot_from_codes(spans, dtype=compute_dtype)
+                y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+                extra = span_len - 2000
+                rc_off = tuple(extra - o for o in offsets)
+                y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_off, precision=precision).astype(jnp.float32)
+                return (y + y_rc) * 0.5
+
+            def feats(p):
+                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
+                return f.reshape(p.shape[0], -1)
+
+            REF = feats(preds_of(ref)) @ W + bias
+            ALT = feats(preds_of(alt)) @ W + bias
+            return REF, ALT
+
+        self._score_spans_packed = _score_spans_packed
 
     def _batches(self, codes: np.ndarray):
         n = codes.shape[0]
@@ -299,6 +346,60 @@ class BelugaRunner:
                 W_dev,
                 bias_dev,
                 offsets,
+            )
+            in_flight.append((start, real, out))
+            if len(in_flight) >= self.pipeline_depth:
+                s0, r0, (rr, aa) = in_flight.pop(0)
+                REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
+                ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+        for s0, r0, (rr, aa) in in_flight:
+            REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
+            ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+        return REF, ALT
+
+    def score_variant_spans_packed(
+        self,
+        ref_spans: np.ndarray,
+        mutpos: int,
+        alt_alleles: np.ndarray,
+        offsets,
+        basis: np.ndarray,
+        W: np.ndarray,
+        bias: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Transfer-optimized fused serving: ships one 4-bit-packed span per
+        variant plus (N, A) alt-allele codes; the alt span is spliced on
+        device at ``mutpos``. ~4x less host->device traffic than
+        :meth:`score_variant_spans`."""
+        ref_spans = np.asarray(ref_spans, dtype=np.int8)
+        alt_alleles = np.asarray(alt_alleles, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n, span_len = ref_spans.shape
+        k = W.shape[1]
+        rows = self._span_rows(len(offsets))
+        W_dev = jnp.asarray(W, dtype=jnp.float32)
+        bias_dev = jnp.asarray(bias, dtype=jnp.float32)
+        REF = np.empty((n, k), dtype=np.float32)
+        ALT = np.empty((n, k), dtype=np.float32)
+        packed_all = pack_codes(ref_spans)
+        in_flight = []
+        for start in range(0, n, rows):
+            end = min(start + rows, n)
+            real = end - start
+            pad = rows - real
+            p_chunk = np.pad(packed_all[start:end], ((0, pad), (0, 0)))
+            a_chunk = np.pad(alt_alleles[start:end], ((0, pad), (0, 0)), constant_values=-1)
+            b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
+            out = self._score_spans_packed(
+                self.params,
+                jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
+                jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                jnp.asarray(b_chunk),
+                W_dev,
+                bias_dev,
+                offsets,
+                span_len,
+                int(mutpos),
             )
             in_flight.append((start, real, out))
             if len(in_flight) >= self.pipeline_depth:

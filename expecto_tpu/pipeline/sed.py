@@ -240,14 +240,14 @@ def score_sed_serving(
     row_alts = inputs.coor.iloc[:, 4].astype(str).values
     n = len(positions)
 
+    max_len = max(len(a) for a in row_alts) if n else 1
     ref_spans = np.empty((n, span_len), dtype=np.int8)
-    alt_spans = np.empty((n, span_len), dtype=np.int8)
+    alt_alleles = np.full((n, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
     for i in range(n):
         span = genome.window_codes(chroms[i], [positions[i] - maxshift - half], span_len)[0]
         ref_spans[i] = span
         ref_spans[i, mutpos : mutpos + len(row_refs[i])] = seqs_to_codes([row_refs[i]], len(row_refs[i]))[0]
-        alt_spans[i] = span
-        alt_spans[i, mutpos : mutpos + len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
+        alt_alleles[i, : len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
 
     basis = variant_basis(inputs.dist, inputs.strand, shifts)  # (S, n, 10)
 
@@ -266,7 +266,7 @@ def score_sed_serving(
         raise ValueError(f"unsupported model feature count {nf}")
     bias = np.array([m.bias + m.base_score for m in models], dtype=np.float32)
 
-    REF, ALT = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF, ALT = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
 
     df = inputs.coor.copy()
     df["dist"] = inputs.dist

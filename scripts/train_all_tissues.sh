@@ -1,0 +1,16 @@
+#!/bin/bash
+# Multi-tissue sweep (reference scripts/train_pbmc.sh / train_bulk_rna.sh
+# loops): trains every expression column and writes metrics.h5.
+set -euo pipefail
+EXPFILE=${1:?expFile}
+OUT=${2:-tissue_models}
+python - "$EXPFILE" "$OUT" <<'PY'
+import sys
+import numpy as np, pandas as pd
+from expecto_tpu.pipeline.train import train_all_tissues
+expfile, out = sys.argv[1], sys.argv[2]
+X = np.load('./resources/Xreducedall.2002.npy')
+geneanno = pd.read_csv('./resources/geneanno.csv')
+exp = pd.read_csv(expfile)
+train_all_tissues(X, geneanno, exp, output_dir=out, metrics_path=f"{out}/metrics.h5")
+PY

@@ -70,3 +70,43 @@ def test_projection_batch_spill(params):
         big.predict_and_project(codes, pos_weights, n_shifts),
         rtol=1e-4, atol=1e-6,
     )
+
+
+def test_packed_codes_roundtrip():
+    from expecto_tpu.parallel.runner import pack_codes, unpack_codes
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    codes = rng.integers(0, 5, size=(3, 101), dtype=np.int8)
+    packed = pack_codes(codes)
+    assert packed.shape == (3, 51)
+    out = np.asarray(unpack_codes(jnp.asarray(packed), 101))
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_score_spans_packed_matches_unpacked(params):
+    from expecto_tpu.parallel.runner import BelugaRunner
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.genome.windows import variant_shifts
+
+    maxshift = 400
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
+    mutpos = maxshift + 999
+    rng = np.random.default_rng(7)
+    n = 3
+    ref_spans = rng.integers(0, 4, size=(n, span_len), dtype=np.int8)
+    alt_alleles = ((ref_spans[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+    alt_spans = ref_spans.copy()
+    alt_spans[:, mutpos] = alt_alleles[:, 0]
+
+    basis = variant_basis(rng.integers(-5000, 5000, n), rng.choice(["+", "-"], n), shifts).astype(np.float32)
+    W = rng.standard_normal((20020, 4)).astype(np.float32) * 0.01
+    bias = rng.standard_normal(4).astype(np.float32)
+
+    runner = BelugaRunner(params, batch_size=64)
+    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
