@@ -194,6 +194,111 @@ def train_gblinear(
     )
 
 
+def _multi_round_body(Xt_blocks, Xt2_blocks, hp: GBLinearParams, axis_name=None):
+    """One boosting round for K models sharing the feature matrix.
+
+    Residuals are (n, K); per-model row weights (n, K) express bootstrap
+    resampling (integer multiplicities) or plain multi-target training
+    (all-ones). Per-feature stats become single MXU matmuls over all models:
+    G = X_blk @ (w * r), H = X_blk^2 @ w.
+    """
+
+    def psum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
+
+    def one_round(w_blocks, bias, r, row_w, n_eff):
+        # bias step: sum_g/sum_h per model
+        sum_g = psum(jnp.sum(row_w * r, axis=0))  # (K,)
+        db = hp.eta * (-sum_g / (n_eff + hp.reg_lambda_bias))
+        bias = bias + db
+        r = r + db[None, :]
+
+        def block_step(r, inputs):
+            Xb, X2b, wb = inputs  # Xb: (B, n_local); wb: (B, K)
+            g = psum(Xb @ (row_w * r))  # (B, K)
+            h = psum(X2b @ row_w)  # (B, K)
+            dw = hp.eta * _coord_delta(g, h, wb, hp.reg_lambda, hp.reg_alpha)
+            r = r + Xb.T @ dw  # (n, K)
+            return r, wb + dw
+
+        r, w_blocks = jax.lax.scan(block_step, r, (Xt_blocks, Xt2_blocks, w_blocks))
+        return w_blocks, bias, r
+
+    return one_round
+
+
+@dataclass
+class MultiTrainResult:
+    weights: np.ndarray  # (F, K)
+    biases: np.ndarray  # (K,)
+    base_score: float
+
+
+def train_gblinear_multi(
+    X,
+    Y,
+    params: GBLinearParams | None = None,
+    *,
+    row_weights: np.ndarray | None = None,
+    verbose: bool = False,
+) -> MultiTrainResult:
+    """Train K gblinear models sharing one feature matrix in a single
+    on-device sweep.
+
+    Two sweep shapes collapse into this (SURVEY §7 step 9):
+    - **multi-tissue** (train_susztak.py's per-column loop): Y is (n, K)
+      labels, ``row_weights`` None (all ones) — K tissues per round via one
+      matmul;
+    - **bootstrap** (scripts/train_bootstrap.sh's 1000 jobs): Y tiles one
+      label column; ``row_weights`` (n, K) holds each seed's resample
+      multiplicities (np.bincount of the with-replacement draw,
+      train_bootstrap.py:88-98). Weighted least squares with integer row
+      weights is exactly training on the resampled rows.
+    """
+    hp = params or GBLinearParams()
+    X = np.asarray(X, dtype=np.float32)
+    Y = np.asarray(Y, dtype=np.float32)
+    if Y.ndim == 1:
+        Y = Y[:, None]
+    n, f = X.shape
+    k = Y.shape[1]
+    if row_weights is None:
+        row_weights = np.ones((n, k), np.float32)
+    row_weights = np.asarray(row_weights, dtype=np.float32)
+
+    Xt_blocks, _ = _pad_blocks(np.ascontiguousarray(X.T), hp.block_size)
+    Xt2_blocks = Xt_blocks**2
+    n_eff = jnp.asarray(row_weights.sum(axis=0))  # (K,) effective row counts
+
+    one_round = _multi_round_body(jnp.asarray(Xt_blocks), jnp.asarray(Xt2_blocks), hp)
+    jit_round = jax.jit(one_round, donate_argnums=(0, 2))
+
+    w_blocks = jnp.zeros((Xt_blocks.shape[0], Xt_blocks.shape[1], k), jnp.float32)
+    bias = jnp.zeros((k,), jnp.float32)
+    r = jnp.asarray(np.full((n, k), hp.base_score, np.float32) - Y)
+    rw = jnp.asarray(row_weights)
+
+    for it in range(hp.num_round):
+        w_blocks, bias, r = jit_round(w_blocks, bias, r, rw, n_eff)
+        if verbose and it % 10 == 0:
+            print(f"[{it}] mean|r| = {float(jnp.mean(jnp.abs(r))):.5f}")
+
+    weights = np.asarray(w_blocks).reshape(-1, k)[:f]
+    return MultiTrainResult(weights=weights, biases=np.asarray(bias), base_score=hp.base_score)
+
+
+def bootstrap_row_weights(n_train: int, seeds: list[int]) -> np.ndarray:
+    """(n_train, len(seeds)) resample multiplicities matching the reference's
+    ``np.random.RandomState(seed).choice(trainind, size=n, replace=True)``
+    draw (train_bootstrap.py:88-98)."""
+    out = np.zeros((n_train, len(seeds)), np.float32)
+    for j, seed in enumerate(seeds):
+        rs = np.random.RandomState(seed)
+        idx = rs.choice(np.arange(n_train), size=n_train, replace=True)
+        out[:, j] = np.bincount(idx, minlength=n_train)
+    return out
+
+
 def make_sharded_round_fn(hp: GBLinearParams, axis_name: str = "data"):
     """One boosting round for shard_map over a row-sharded dataset.
 

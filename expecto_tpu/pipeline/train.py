@@ -25,7 +25,13 @@ import numpy as np
 import pandas as pd
 from scipy.stats import spearmanr
 
-from ..models.gblinear import GBLinearModel, GBLinearParams, train_gblinear
+from ..models.gblinear import (
+    GBLinearModel,
+    GBLinearParams,
+    train_gblinear,
+    train_gblinear_multi,
+    bootstrap_row_weights,
+)
 from ..io.xgb import save_expression_model, dump_text
 from ..utils.keep_mask import subset_features_by_mask
 
@@ -124,21 +130,66 @@ def train_bootstrap(
     seeds: list[int],
     *,
     output_dir: str | os.PathLike | None = None,
+    vectorized: bool = True,
     **kwargs,
 ) -> list[TrainResult]:
     """Bootstrap sweep (replaces scripts/train_bootstrap.sh:4-7's 1000-job
-    shell loop)."""
+    shell loop).
+
+    ``vectorized=True`` trains all seeds **simultaneously** on device:
+    with-replacement resampling is expressed as per-seed integer row weights
+    (weighted least squares == training on the resampled rows, verified
+    against the per-seed path), so K seeds cost one sweep with (n, K)
+    residual matmuls instead of K sweeps.
+    """
+    if not vectorized:
+        results = []
+        for seed in seeds:
+            prefix = None
+            if output_dir is not None:
+                os.makedirs(output_dir, exist_ok=True)
+                prefix = os.path.join(output_dir, f"bootstrap_seed{seed}")
+            results.append(
+                train_expression_model(
+                    Xreducedall, geneanno, expression, seed_resample=seed, output_prefix=prefix, **kwargs
+                )
+            )
+        return results
+
+    hp = kwargs.pop("params", None) or GBLinearParams()
+    filter_str = kwargs.pop("filter_str", "all")
+    pseudocount = kwargs.pop("pseudocount", 1e-4)
+    keep_mask = kwargs.pop("keep_mask", None)
+    n_tracks = kwargs.pop("n_tracks", 2002)
+    if kwargs:
+        raise TypeError(f"unsupported kwargs for vectorized bootstrap: {sorted(kwargs)}")
+
+    X = Xreducedall
+    if keep_mask is not None:
+        X = subset_features_by_mask(X, keep_mask, n_tracks=n_tracks)
+    labels = np.log(np.asarray(expression, dtype=np.float64) + pseudocount)
+    filt = gene_filter(geneanno, filter_str) & np.isfinite(labels)
+    trainind, testind = chromosome_split(geneanno)
+    tr = np.nonzero(trainind & filt)[0]
+    te = np.nonzero(testind & filt)[0]
+
+    X_tr = X[tr]
+    y_tr = labels[tr].astype(np.float32)
+    row_w = bootstrap_row_weights(len(tr), seeds)
+    multi = train_gblinear_multi(X_tr, np.tile(y_tr[:, None], (1, len(seeds))), hp, row_weights=row_w)
+
     results = []
-    for seed in seeds:
-        prefix = None
+    from scipy.stats import spearmanr
+
+    X_te, y_te = X[te], labels[te].astype(np.float32)
+    for j, seed in enumerate(seeds):
+        model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
+        pred = model.predict(X_te)
+        rho = float(spearmanr(pred, y_te).statistic) if len(y_te) > 1 else float("nan")
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
-            prefix = os.path.join(output_dir, f"bootstrap_seed{seed}")
-        results.append(
-            train_expression_model(
-                Xreducedall, geneanno, expression, seed_resample=seed, output_prefix=prefix, **kwargs
-            )
-        )
+            save_expression_model(model, os.path.join(output_dir, f"bootstrap_seed{seed}.save"))
+        results.append(TrainResult(model=model, spearman=rho, test_pred=pred, test_true=y_te))
     return results
 
 

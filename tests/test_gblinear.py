@@ -158,3 +158,38 @@ def test_sharded_training_matches_single(ridge_problem):
     w_sharded = np.asarray(w_blocks).reshape(-1)[:f]
     np.testing.assert_allclose(w_sharded, single.weight, atol=1e-4)
     assert abs(float(bias) - single.bias) < 1e-4
+
+
+class TestMultiModel:
+    def test_multi_target_matches_per_target(self, ridge_problem):
+        from expecto_tpu.models.gblinear import train_gblinear_multi
+
+        X, y, _ = ridge_problem
+        rng = np.random.default_rng(0)
+        Y = np.stack([y, y * 2 + 1, rng.normal(size=y.shape[0])], axis=1)
+        hp = GBLinearParams(eta=0.3, reg_lambda=5.0, num_round=60, block_size=16)
+        multi = train_gblinear_multi(X, Y, hp)
+        for k in range(Y.shape[1]):
+            single = train_gblinear(X, Y[:, k], hp)
+            np.testing.assert_allclose(multi.weights[:, k], single.weight, atol=1e-5)
+            assert abs(multi.biases[k] - single.bias) < 1e-5
+
+    def test_bootstrap_weights_match_resampled_training(self, ridge_problem):
+        from expecto_tpu.models.gblinear import (
+            train_gblinear_multi,
+            bootstrap_row_weights,
+        )
+
+        X, y, _ = ridge_problem
+        n = X.shape[0]
+        hp = GBLinearParams(eta=0.3, reg_lambda=5.0, num_round=40, block_size=32)
+        seeds = [0, 7]
+        W = bootstrap_row_weights(n, seeds)
+        multi = train_gblinear_multi(X, np.stack([y, y], axis=1), hp, row_weights=W)
+
+        for j, seed in enumerate(seeds):
+            rs = np.random.RandomState(seed)
+            idx = rs.choice(np.arange(n), size=n, replace=True)
+            single = train_gblinear(X[idx], y[idx], hp)
+            np.testing.assert_allclose(multi.weights[:, j], single.weight, atol=2e-4)
+            assert abs(multi.biases[j] - single.bias) < 2e-4

@@ -270,3 +270,25 @@ class TestClusterScoring:
         assert len(cluster_cols) == 4
         np.testing.assert_allclose(df[cluster_cols].sum(axis=1), 1.0, rtol=1e-6)
         assert (tmp_path / "clu" / "sed.tsv").exists()
+
+
+class TestVectorizedBootstrap:
+    def test_matches_per_seed_path(self):
+        from expecto_tpu.models.gblinear import GBLinearParams
+        from expecto_tpu.pipeline.train import train_bootstrap
+
+        rng = np.random.default_rng(12)
+        n = 200
+        X = rng.normal(size=(n, 12)).astype(np.float32)
+        expr = np.exp(rng.normal(size=n))
+        geneanno = pd.DataFrame({
+            "id": [f"G{i}" for i in range(n)],
+            "seqnames": rng.choice(["chr1", "chr8"], size=n, p=[0.8, 0.2]),
+            "type": ["protein_coding"] * n,
+        })
+        hp = GBLinearParams(eta=0.3, reg_lambda=2.0, num_round=30)
+        vec = train_bootstrap(X, geneanno, expr, seeds=[0, 3], params=hp, vectorized=True)
+        loop = train_bootstrap(X, geneanno, expr, seeds=[0, 3], params=hp, vectorized=False)
+        for v, l in zip(vec, loop):
+            np.testing.assert_allclose(v.model.weight, l.model.weight, atol=2e-4)
+            assert abs(v.model.bias - l.model.bias) < 2e-4
