@@ -107,6 +107,13 @@ def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows:
 
 
 def main() -> None:
+    import jax as _jax
+
+    # persistent compile cache: the span kernels take minutes to compile via
+    # the remote-compile relay; cache them across bench invocations
+    _jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import torch
 
     sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tests"))

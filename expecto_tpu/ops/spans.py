@@ -86,19 +86,42 @@ def beluga_forward_spans(
         g = _conv_relu(g, params["conv5"], precision)
         phase_conv6[ph] = g  # window w: [ (o//4 - ph)//4 : +106 ]
 
-    outs = []
     n = spans.shape[0]
-    for o in offsets:
-        ph = (o // 4) % 4
-        start = (o // 4 - ph) // 4
-        win = lax.slice_in_dim(phase_conv6[ph], start, start + 106, axis=1)
-        outs.append(win.reshape(n, -1))
-    h = jnp.stack(outs, axis=1)  # (N, n_offsets, 67840)
+    fc1_w = params["fc1"]["w"].astype(h.dtype)
 
-    h = jax.nn.relu(
-        jnp.einsum("nof,fk->nok", h, params["fc1"]["w"].astype(h.dtype), precision=precision)
-        + params["fc1"]["b"].astype(h.dtype)
-    )
+    # dense-1 applied per window. When the starts within a pooling phase are
+    # uniformly strided (always true for the standard 200-bp shift grids),
+    # fc1 runs as ONE strided valid convolution over the phase buffer with
+    # kernel (106, 640, 2003) — the length-major fc1 matrix reshaped — which
+    # avoids materializing the (N, n_offsets, 67840) gather.
+    per_phase_starts: dict[int, list[tuple[int, int]]] = {}
+    for i, o in enumerate(offsets):
+        ph = (o // 4) % 4
+        per_phase_starts.setdefault(ph, []).append((i, (o // 4 - ph) // 4))
+
+    h1_cols = [None] * len(offsets)
+    fc1_kernel = fc1_w.reshape(106, -1, params["fc1"]["b"].shape[0])
+    for ph, items in per_phase_starts.items():
+        starts = [s for _, s in items]
+        order = sorted(range(len(starts)), key=lambda j: starts[j])
+        s_sorted = [starts[j] for j in order]
+        strides = {s_sorted[j + 1] - s_sorted[j] for j in range(len(s_sorted) - 1)}
+        buf = phase_conv6[ph]
+        if len(s_sorted) > 1 and len(strides) == 1 and min(strides) > 0:
+            stride = strides.pop()
+            sliced = lax.slice_in_dim(buf, s_sorted[0], buf.shape[1], axis=1)
+            frames = lax.conv_general_dilated(
+                sliced, fc1_kernel, (stride,), "VALID",
+                dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
+            )  # (N, n_frames, 2003)
+            for rank, j in enumerate(order):
+                h1_cols[items[j][0]] = frames[:, rank, :]
+        else:
+            for (i, s) in items:
+                win = lax.slice_in_dim(buf, s, s + 106, axis=1).reshape(n, -1)
+                h1_cols[i] = jnp.dot(win, fc1_w, precision=precision)
+    h = jnp.stack(h1_cols, axis=1)  # (N, n_offsets, 2003)
+    h = jax.nn.relu(h + params["fc1"]["b"].astype(h.dtype))
     out = (
         jnp.einsum("nok,km->nom", h, params["fc2"]["w"].astype(h.dtype), precision=precision)
         + params["fc2"]["b"].astype(h.dtype)
