@@ -25,6 +25,32 @@ def hierarchical_feature_clusters(X: np.ndarray, n_clusters: int = 10, n_basis: 
     return labels.reshape(n_basis, -1).transpose(1, 0)
 
 
+def hierarchical_mark_clusters(X: np.ndarray, n_clusters: int = 110, n_basis: int = 10) -> np.ndarray:
+    """Cluster the 2,002 *marks* by concatenating their basis feature columns
+    (interpret_features_grouped.py:72,144-147): X (n_genes, n_basis*n_marks)
+    -> (n_marks,) labels, each mark represented by its n_genes*n_basis
+    grouped feature vector."""
+    from sklearn.cluster import AgglomerativeClustering
+
+    n_marks = X.shape[1] // n_basis
+    grouped = X.T.reshape(n_basis, n_marks, -1).transpose(1, 2, 0).reshape(n_marks, -1)
+    return AgglomerativeClustering(n_clusters=n_clusters).fit(grouped).labels_
+
+
+def mark_clusters_table(beluga_features_df: pd.DataFrame, clusters: np.ndarray) -> pd.DataFrame:
+    """Per-mark cluster table + sizes (interpret_features_grouped.py:149-162).
+    Returns (table, sizes)."""
+    df = beluga_features_df.copy()
+    df["cluster"] = np.asarray(clusters).ravel()
+    return df
+
+
+def cluster_sizes(table: pd.DataFrame) -> pd.DataFrame:
+    sizes = table.groupby("cluster").size().rename("size").to_frame()
+    sizes.index = [f"cluster_{i}" for i in sizes.index]
+    return sizes.sort_values(by="size", ascending=False)
+
+
 def feature_clusters_table(beluga_features_df: pd.DataFrame, clusters: np.ndarray, n_basis: int = 10) -> pd.DataFrame:
     """The all_feature_clusters.tsv layout (interpret_features.py:124-129):
     mark metadata repeated per basis coefficient + cluster label."""

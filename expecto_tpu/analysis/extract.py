@@ -50,3 +50,49 @@ def extract_bins(chromatin_preds: np.ndarray, center_bin: int, flank: int = 50) 
     lo = max(center_bin - flank, 0)
     hi = min(center_bin + flank + 1, chromatin_preds.shape[-2])
     return chromatin_preds[..., lo:hi, :]
+
+
+def extract_consensus_track_bins(
+    chromatin_h5_path: str,
+    snp_pos: int,
+    tss_pos: int,
+    strand: str,
+    track_indices,
+    *,
+    out_h5_path: str | None = None,
+    flank: int = 50,
+    model: str = "expecto",
+):
+    """Extract selected tracks at the SNP bin, TSS bin, and +-flank bins from
+    a per-gene consensus chromatin h5 (the ExPecto branch of reference
+    extract_lymphoblastoid_consensus_preds.py:16-180).
+
+    Input h5: ``chromatin_preds`` (n_samples, n_bins, n_tracks) +
+    ``record_ids`` as written by predict_consensus_genes. Returns a dict and
+    optionally writes it as an h5.
+    """
+    import h5py
+
+    track_indices = np.asarray(track_indices)
+    with h5py.File(chromatin_h5_path, "r") as f:
+        preds = np.asarray(f["chromatin_preds"])
+        record_ids = np.asarray(f["record_ids"])
+
+    snp_bin = get_snp_bin(snp_pos, tss_pos, strand, model)
+    tss_bin = get_snp_bin(tss_pos, tss_pos, strand, model)
+    out = {
+        "snp_bin": snp_bin,
+        "tss_bin": tss_bin,
+        "snp_bin_preds": preds[:, snp_bin][:, track_indices],
+        "tss_bin_preds": preds[:, tss_bin][:, track_indices],
+        "flank_preds": extract_bins(preds, snp_bin, flank)[..., track_indices],
+        "record_ids": record_ids,
+    }
+    if out_h5_path is not None:
+        with h5py.File(out_h5_path, "w") as f:
+            for k, v in out.items():
+                if k in ("snp_bin", "tss_bin"):
+                    f.attrs[k] = v
+                else:
+                    f.create_dataset(k, data=v)
+    return out

@@ -167,6 +167,53 @@ def compute_gene_features(
     return features
 
 
+def compute_gene_features_atac(
+    genes: list[GeneRecord],
+    genome: FastaIndex,
+    runner: BelugaRunner,
+    peaks_by_chrom: dict,
+    chip_track_indices: np.ndarray,
+    *,
+    windowsize: int = 2000,
+    out_path: str | os.PathLike | None = None,
+    shifts: list[int] | None = None,
+    progress: bool = False,
+) -> np.ndarray:
+    """ATAC x predicted-ChIP intersect features (reference
+    expecto_intersect_chip_atac.py:73-107): per gene, the fwd/RC-averaged
+    per-shift predictions have their TF/Histone tracks multiplied by the
+    binary DeepSEA-style peak-bin mask before the decay projection.
+
+    The mask is identical for forward and RC orientations, so masking the
+    on-device average equals the reference's mask-then-average.
+    """
+    from ..analysis.atac import get_atac_peak_bins, apply_peak_mask
+
+    shifts = gene_shifts() if shifts is None else shifts
+    pos_weights = gene_pos_weights(shifts)
+    features = np.empty((len(genes), pos_weights.shape[0] * 2002), dtype=np.float32)
+
+    iterator = enumerate(genes)
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(list(iterator))
+    for i, g in iterator:
+        span, offsets = gene_span_and_offsets(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts)
+        if hasattr(runner, "predict_span_codes"):
+            preds = runner.predict_span_codes(span[None], offsets, rc_mode="average")[0].astype(np.float32)
+        else:
+            codes = gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts)
+            preds = runner.predict_codes(codes, average_rc=True).astype(np.float32)
+        binned = get_atac_peak_bins(g.chrom, g.tss, g.strand, peaks_by_chrom, n_bins=len(shifts))
+        preds = apply_peak_mask(preds, binned, chip_track_indices)
+        features[i] = project_features(pos_weights, preds[:, None, :])[0]
+
+    if out_path is not None:
+        np.save(out_path, features)
+    return features
+
+
 def replicate_gene_features(
     genes: list[GeneRecord],
     genome: FastaIndex,

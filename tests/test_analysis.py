@@ -357,3 +357,89 @@ class TestPlotting:
         stats = plot_preds(y, y + rng.normal(size=50) * 0.1, tmp_path / "p.png")
         assert (tmp_path / "p.png").exists()
         assert stats["pearsonr"] > 0.9
+
+
+class TestGroupedClustering:
+    def test_mark_clusters(self):
+        from expecto_tpu.analysis.cluster import (
+            hierarchical_mark_clusters,
+            mark_clusters_table,
+            cluster_sizes,
+        )
+
+        rng = np.random.default_rng(4)
+        n_marks, n_basis = 8, 10
+        X = rng.normal(size=(40, n_basis * n_marks))
+        labels = hierarchical_mark_clusters(X, n_clusters=3, n_basis=n_basis)
+        assert labels.shape == (n_marks,)
+        meta = pd.DataFrame({"Assay": [f"a{i}" for i in range(n_marks)]})
+        table = mark_clusters_table(meta, labels)
+        assert table.shape[0] == n_marks
+        sizes = cluster_sizes(table)
+        assert sizes["size"].sum() == n_marks
+
+
+class TestExtractDriver:
+    def test_extract_consensus_track_bins(self, tmp_path):
+        import h5py
+        from expecto_tpu.analysis.extract import extract_consensus_track_bins, get_snp_bin
+
+        rng = np.random.default_rng(5)
+        preds = rng.normal(size=(3, 200, 10)).astype(np.float32)
+        with h5py.File(tmp_path / "g_chromatin.h5", "w") as f:
+            f.create_dataset("chromatin_preds", data=preds)
+            f.create_dataset("record_ids", data=np.array([b"a|s1|-|h", b"a|s2|-|h", b"a|s3|-|h"]))
+
+        tss = 100000
+        snp = tss - 300
+        out = extract_consensus_track_bins(
+            str(tmp_path / "g_chromatin.h5"), snp, tss, "+", [0, 3],
+            out_h5_path=str(tmp_path / "out.h5"),
+        )
+        sbin = get_snp_bin(snp, tss, "+")
+        np.testing.assert_array_equal(out["snp_bin_preds"], preds[:, sbin][:, [0, 3]])
+        with h5py.File(tmp_path / "out.h5") as f:
+            assert f.attrs["snp_bin"] == sbin
+            assert f["flank_preds"].shape[0] == 3
+
+
+class TestAtacFeatures:
+    def test_compute_gene_features_atac(self, tiny_genome):
+        from expecto_tpu.pipeline.features import compute_gene_features_atac, GeneRecord
+        from expecto_tpu.genome.encode import codes_to_onehot, reverse_complement_codes
+
+        class FakeRunner:
+            def predict_codes(self, codes, average_rc=False):
+                x = codes_to_onehot(codes).reshape(codes.shape[0], -1)
+                rng = np.random.default_rng(0)
+                proj = rng.normal(size=(2000 * 4, 2002)).astype(np.float32) * 0.01
+                out = x @ proj
+                if average_rc:
+                    xr = codes_to_onehot(reverse_complement_codes(codes)).reshape(codes.shape[0], -1)
+                    out = (out + xr @ proj) / 2
+                return out
+
+        fa, _ = tiny_genome
+        genes = [GeneRecord("G1", "chr1", 30000, 1)]
+        shifts = [-400, -200, 0, 200]
+        # peaks covering the whole receptive field -> mask all ones -> equal
+        # to unmasked features on chip tracks
+        peaks_all = {"chr1": np.array([[0, 10**6]])}
+        chip_idx = np.array([1, 5])
+        feats = compute_gene_features_atac(
+            genes, fa, FakeRunner(), peaks_all, chip_idx, shifts=shifts
+        )
+        assert feats.shape == (1, 10 * 2002)
+
+        # no peaks -> chip tracks zeroed -> their features vanish
+        feats0 = compute_gene_features_atac(
+            genes, fa, FakeRunner(), {"chr1": np.empty((0, 2))}, chip_idx, shifts=shifts
+        )
+        blocks = feats0.reshape(1, 10, 2002)
+        assert np.abs(blocks[:, :, chip_idx]).max() == 0
+        non_chip = [i for i in range(2002) if i not in chip_idx]
+        np.testing.assert_allclose(
+            feats0.reshape(1, 10, 2002)[:, :, non_chip],
+            feats.reshape(1, 10, 2002)[:, :, non_chip],
+            rtol=1e-6,
+        )
