@@ -1,0 +1,96 @@
+"""Multi-host execution helpers: deterministic work sharding and host-local
+sharded output with bit-identical merge order (SURVEY §2.3).
+
+The reference scales across nodes by chunk flags + shell loops + glob/concat
+mergers. Here each host takes a deterministic contiguous row range of the
+global work list, computes on its local devices, and writes
+``<stem>.shard{r:05d}-of-{w:05d}<ext>`` files; ``merge_sharded_h5`` /
+``assemble_rows`` reassemble in shard order, so merged output is
+bit-identical to a single-host run regardless of how many hosts ran.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+
+import h5py
+import numpy as np
+
+
+def host_row_range(n_rows: int, process_index: int | None = None, process_count: int | None = None) -> tuple[int, int]:
+    """Contiguous [start, stop) row range owned by this host. Deterministic:
+    the first ``n % w`` hosts take one extra row."""
+    import jax
+
+    r = jax.process_index() if process_index is None else process_index
+    w = jax.process_count() if process_count is None else process_count
+    base, extra = divmod(n_rows, w)
+    start = r * base + min(r, extra)
+    stop = start + base + (1 if r < extra else 0)
+    return start, stop
+
+
+def shard_path(path: str, process_index: int | None = None, process_count: int | None = None) -> str:
+    """``out.h5`` -> ``out.shard00002-of-00008.h5`` (unchanged on 1 host)."""
+    import jax
+
+    r = jax.process_index() if process_index is None else process_index
+    w = jax.process_count() if process_count is None else process_count
+    if w == 1:
+        return path
+    stem, ext = os.path.splitext(path)
+    return f"{stem}.shard{r:05d}-of-{w:05d}{ext}"
+
+
+def list_shards(path: str) -> list[str]:
+    """All shard files for a logical path, in shard order; [path] if the
+    unsharded file exists."""
+    if os.path.exists(path):
+        return [path]
+    stem, ext = os.path.splitext(path)
+    files = sorted(glob.glob(f"{stem}.shard*-of-*{ext}"))
+    if not files:
+        return []
+    m = re.search(r"shard\d{5}-of-(\d{5})", files[0])
+    expected = int(m.group(1))
+    if len(files) != expected:
+        raise AssertionError(f"expected {expected} shards for {path}, found {len(files)}")
+    return files
+
+
+def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool = False) -> str:
+    """Concatenate shard h5 files (row axis 0 of every dataset) in shard
+    order into the logical file. Bit-identical to the single-host write."""
+    shards = list_shards(path)
+    if not shards:
+        raise FileNotFoundError(path)
+    out_path = out_path or path
+    if shards == [path]:
+        return path
+    datasets: dict[str, list[np.ndarray]] = {}
+    for s in shards:
+        with h5py.File(s, "r") as f:
+            for name in f:
+                datasets.setdefault(name, []).append(np.asarray(f[name]))
+    with h5py.File(out_path, "w") as f:
+        for name, parts in datasets.items():
+            f.create_dataset(name, data=np.concatenate(parts, axis=0))
+    if delete_shards:
+        for s in shards:
+            os.remove(s)
+    return out_path
+
+
+def assemble_rows(parts: list[tuple[int, np.ndarray]], n_rows: int) -> np.ndarray:
+    """Place (start, block) pairs into a (n_rows, ...) array (in-memory
+    merge for collectives-free host gathers)."""
+    out = np.empty((n_rows,) + parts[0][1].shape[1:], dtype=parts[0][1].dtype)
+    seen = 0
+    for start, block in parts:
+        out[start : start + block.shape[0]] = block
+        seen += block.shape[0]
+    if seen != n_rows:
+        raise AssertionError(f"assembled {seen} rows, expected {n_rows}")
+    return out

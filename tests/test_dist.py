@@ -1,0 +1,65 @@
+"""Multi-host sharding helpers: deterministic ranges, sharded h5 merge."""
+
+import h5py
+import numpy as np
+import pytest
+
+from expecto_tpu.parallel.dist import (
+    host_row_range,
+    shard_path,
+    list_shards,
+    merge_sharded_h5,
+    assemble_rows,
+)
+
+
+class TestRowRanges:
+    def test_partition_covers_exactly(self):
+        n, w = 103, 8
+        ranges = [host_row_range(n, r, w) for r in range(w)]
+        assert ranges[0][0] == 0 and ranges[-1][1] == n
+        for (a0, a1), (b0, b1) in zip(ranges, ranges[1:]):
+            assert a1 == b0
+        sizes = [b - a for a, b in ranges]
+        assert max(sizes) - min(sizes) <= 1
+
+    def test_single_host(self):
+        assert host_row_range(10, 0, 1) == (0, 10)
+
+
+class TestShardedH5:
+    def test_shard_naming_and_merge(self, tmp_path):
+        path = str(tmp_path / "out.h5")
+        # single-host: name unchanged
+        assert shard_path(path, 0, 1) == path
+
+        n, w = 25, 3
+        full = np.arange(n * 4, dtype=np.float32).reshape(n, 4)
+        ids = np.array([f"row{i}".encode() for i in range(n)])
+        for r in range(w):
+            a, b = host_row_range(n, r, w)
+            with h5py.File(shard_path(path, r, w), "w") as f:
+                f.create_dataset("data", data=full[a:b])
+                f.create_dataset("ids", data=ids[a:b])
+
+        assert len(list_shards(path)) == w
+        merged = merge_sharded_h5(path, delete_shards=True)
+        with h5py.File(merged) as f:
+            np.testing.assert_array_equal(f["data"], full)
+            np.testing.assert_array_equal(f["ids"], ids)
+        assert list_shards(path) == [path]
+
+    def test_missing_shard_raises(self, tmp_path):
+        path = str(tmp_path / "x.h5")
+        with h5py.File(shard_path(path, 0, 3), "w") as f:
+            f.create_dataset("d", data=np.zeros(2))
+        with pytest.raises(AssertionError, match="expected 3 shards"):
+            list_shards(path)
+
+
+def test_assemble_rows():
+    parts = [(5, np.full((5, 2), 1.0)), (0, np.full((5, 2), 0.0))]
+    out = assemble_rows(parts, 10)
+    assert (out[:5] == 0).all() and (out[5:] == 1).all()
+    with pytest.raises(AssertionError):
+        assemble_rows(parts, 12)
