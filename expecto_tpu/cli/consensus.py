@@ -27,6 +27,8 @@ def main(argv=None) -> int:
     sp.add_argument("--exp_only", action="store_true")
     sp.add_argument("--num_chunks", type=int, default=None)
     sp.add_argument("--chunk_i", type=int, default=None)
+    sp.add_argument("--genes", type=str, default=None,
+                    help="comma-separated gene subset (replaces the reference's hard-coded top-eqtl gene list)")
 
     rp = sub.add_parser("ref", help="reference-haplotype predictions for all genes (C19)")
     common(rp)
@@ -56,7 +58,8 @@ def main(argv=None) -> int:
         c.predict_consensus_genes(
             args.expecto_model, args.consensus_dir, args.genes_file, runner, args.out_dir,
             overwrite=args.overwrite, exp_only=args.exp_only,
-            num_chunks=args.num_chunks, chunk_i=args.chunk_i, progress=True,
+            num_chunks=args.num_chunks, chunk_i=args.chunk_i,
+            genes=args.genes.split(",") if args.genes else None, progress=True,
         )
     elif args.cmd == "ref":
         c.predict_ref_all_genes(

@@ -58,6 +58,26 @@ def main(argv=None) -> int:
     coor = pd.read_csv(args.coorFile, sep="\t", header=None, comment="#")
     gene = load_closest_genes(args.geneFile)
 
+    if args.splitFlag:
+        # variant-fold slicing for very large inputs (README.md:50; the fork
+        # parses but ignores these flags — here they work). Gene rows are
+        # matched to the sliced variants by their 5-column key since the
+        # association file may carry several genes per variant.
+        import numpy as np
+
+        n = coor.shape[0]
+        bounds = np.linspace(0, n, args.splitFold + 1).astype(int)
+        lo, hi = bounds[args.splitIndex], bounds[args.splitIndex + 1]
+        coor = coor.iloc[lo:hi]
+        effects = {k: v[:, lo:hi] for k, v in effects.items()}
+
+        # gene file stores chrom without 'chr' and pos at col 2
+        coor_keys = set(
+            coor.iloc[:, 0].astype(str).str.replace("chr", "") + ":" + coor.iloc[:, 1].astype(str)
+        )
+        gene_keys = gene.iloc[:, 0].astype(str).str.replace("chr", "") + ":" + gene.iloc[:, 2].astype(str)
+        gene = gene[gene_keys.isin(coor_keys)]
+
     if args.modelList:
         modellist = load_modellist(args.modelList)
         paths = modellist.iloc[:, 0].tolist()

@@ -87,6 +87,22 @@ def load_params_npz(path: str | os.PathLike) -> dict:
     return params
 
 
+def save_params_orbax(params: dict, path: str | os.PathLike) -> None:
+    """Orbax checkpoint of the Beluga pytree (multi-host-safe alternative to
+    npz; SURVEY §5 checkpoint plan)."""
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        ckpt.save(os.path.abspath(path), {k: dict(v) for k, v in params.items()})
+
+
+def load_params_orbax(path: str | os.PathLike) -> dict:
+    import orbax.checkpoint as ocp
+
+    with ocp.StandardCheckpointer() as ckpt:
+        return ckpt.restore(os.path.abspath(path))
+
+
 def convert_torch_checkpoint(pth_path: str | os.PathLike, npz_path: str | os.PathLike) -> None:
     """CLI entry: ``python -m expecto_tpu.models.convert in.pth out.npz``."""
     import torch  # local import: conversion-time dependency only

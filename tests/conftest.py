@@ -8,12 +8,19 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+import pathlib
+
 import jax
 
 # the axon sitecustomize force-registers the TPU backend and overrides
 # JAX_PLATFORMS; pin the config explicitly so tests run on the virtual
 # 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
+
+# persistent compile cache: the fp32 Beluga graphs dominate suite runtime on
+# repeat runs; cache compilations across pytest invocations.
+jax.config.update("jax_compilation_cache_dir", str(pathlib.Path(__file__).parent / ".jax_test_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import numpy as np
 import pytest

@@ -167,3 +167,74 @@ def test_compress_cli(tmp_path):
     assert not (src / "g.h5").exists()
     with h5py.File(tmp_path / "zipped" / "gene1" / "g.h5", "r") as f:
         assert f["preds"].dtype == np.float16
+
+
+def test_predict_cli_split_folds(tmp_path, weights_npz, genome_path):
+    """--splitFlag fold slicing produces the union of the unsplit output."""
+    from expecto_tpu.cli.chromatin import main as chromatin_main
+    from expecto_tpu.cli.predict import main as predict_main
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+
+    gpath, contigs = genome_path
+    positions = [6000, 15000, 26000, 37000]
+    vcf_path = tmp_path / "in.vcf"
+    rows, gene_rows = [], []
+    for pos in positions:
+        ref = contigs["chr1"][pos - 1]
+        alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+        rows.append(f"chr1\t{pos}\t.\t{ref}\t{alt}")
+        gene_rows.append(f"1\t{pos-1}\t{pos}\t{ref}\t{alt}\t1\t9999\t10000\t+\tG{pos}\t{10000-pos}")
+    vcf_path.write_text("\n".join(rows) + "\n")
+    gene_path = tmp_path / "genes.tsv"
+    gene_path.write_text("\n".join(gene_rows) + "\n")
+
+    out_dir = tmp_path / "chrom"
+    assert chromatin_main([
+        str(vcf_path), "--genome", gpath, "--beluga_weights", weights_npz,
+        "--output_dir", str(out_dir), "--maxshift", "200", "--batchsize", "16",
+    ]) == 0
+
+    model_path = tmp_path / "m.save"
+    rng = np.random.default_rng(2)
+    save_xgb07_binary(GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.01, bias=0.1), model_path)
+
+    common = [
+        "--model_save_file", str(model_path),
+        "--coorFile", str(out_dir / "snps_hg19.vcf"),
+        "--geneFile", str(gene_path),
+        "--snpEffectFilePattern", str(out_dir / "snps.shift_SHIFT.diff.h5"),
+        "--maxshift", "200",
+    ]
+    assert predict_main(common + ["-o", str(tmp_path / "full")]) == 0
+    full = pd.read_csv(tmp_path / "full" / "sed.tsv", sep="\t")
+
+    parts = []
+    for i in range(2):
+        assert predict_main(common + ["--splitFlag", "--splitIndex", str(i), "--splitFold", "2", "-o", str(tmp_path / f"fold{i}")]) == 0
+        parts.append(pd.read_csv(tmp_path / f"fold{i}" / "sed.tsv", sep="\t"))
+    merged = pd.concat(parts, ignore_index=True)
+    assert merged.shape[0] == full.shape[0]
+    np.testing.assert_allclose(merged["SED"].values, full["SED"].values, rtol=1e-6)
+
+
+def test_closest_genes_cli(tmp_path):
+    from expecto_tpu.cli.closest_genes import main as cg_main
+
+    vcf_path = tmp_path / "v.vcf"
+    vcf_path.write_text("chr1\t1500\t.\tA\tT\n")
+    anno = tmp_path / "anno.csv"
+    pd.DataFrame(
+        {
+            "symbol": ["g1", "g2"],
+            "seqnames": ["chr1", "chr1"],
+            "strand": ["+", "-"],
+            "TSS": [1000, 90000],
+            "CAGE_representative_TSS": [1000, 90000],
+            "type": ["protein_coding"] * 2,
+        },
+        index=pd.Index(["E1", "E2"], name="id"),
+    ).to_csv(anno)
+    assert cg_main([str(vcf_path), "--annoFile", str(anno), "-o", str(tmp_path / "out")]) == 0
+    genes = pd.read_csv(tmp_path / "out" / "closest_genes.tsv", sep="\t", header=None)
+    assert genes.shape[0] == 1 and genes.iloc[0, 9] == "E1"
