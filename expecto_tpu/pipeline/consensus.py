@@ -99,6 +99,42 @@ def consensus_window_codes(seq: str, strand: str, *, shifts=None, windowsize: in
     return out
 
 
+def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize: int = 2000):
+    """(span_codes, offsets) covering all shift windows of a consensus
+    sequence — the span-amortized equivalent of consensus_window_codes
+    (windows at offsets[i] == consensus_window_codes(...)[i])."""
+    shifts = gene_shifts() if shifts is None else shifts
+    sgn = {"+": 1, "-": -1}[strand]
+    tss_i = len(seq) // 2
+    starts = [tss_i + s * sgn - int(windowsize / 2 - 1) for s in shifts]
+    lo, hi = min(starts), max(starts) + windowsize
+    if lo < 0 or hi > len(seq):
+        raise AssertionError("consensus span out of range")
+    codes = _BYTE_LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
+    return codes[lo:hi].astype(np.int8), tuple(st - lo for st in starts)
+
+
+def _predict_consensus_preds(runner, seqs_and_strands, shifts):
+    """(n_records, n_shifts, 2002) fwd/RC-averaged predictions for a list of
+    (seq, strand), using the span-amortized runner path when available."""
+    if hasattr(runner, "predict_span_codes"):
+        by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+        for i, (seq, strand) in enumerate(seqs_and_strands):
+            span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
+            by_offsets.setdefault(offsets, []).append((i, span))
+        n_shifts = len(shifts) if shifts is not None else 200
+        out = np.empty((len(seqs_and_strands), n_shifts, 2002), dtype=np.float32)
+        for offsets, items in by_offsets.items():
+            rows = np.stack([sp for _, sp in items])
+            preds = runner.predict_span_codes(rows, offsets, rc_mode="average").astype(np.float32)
+            for (idx, _), pr in zip(items, preds):
+                out[idx] = pr
+        return out
+    all_codes = [consensus_window_codes(seq, strand, shifts=shifts) for seq, strand in seqs_and_strands]
+    flat = runner.predict_codes(np.concatenate(all_codes, axis=0), average_rc=True).astype(np.float32)
+    return flat.reshape(len(seqs_and_strands), -1, flat.shape[-1])
+
+
 def consensus_features(preds: np.ndarray, shifts=None) -> np.ndarray:
     """(n_samples, 200, 2002) averaged predictions -> legacy (n, 20030)
     features (geuvadis_predict_consensus.py:109-125)."""
@@ -166,15 +202,12 @@ def predict_consensus_genes(
                 record_ids = [x.decode("utf-8") for x in f["record_ids"]]
         else:
             record_ids = []
-            all_codes = []
+            seqs = []
             for fasta_file in glob.glob(f"{consensus_dir}/{gene}/samples/*.fa"):
                 for rec_id, seq in parse_fasta(fasta_file):
-                    seq = pad_enformer_seq(rec_id, seq)
-                    all_codes.append(consensus_window_codes(seq, strand, shifts=shifts))
+                    seqs.append((pad_enformer_seq(rec_id, seq), strand))
                     record_ids.append(f"{rec_id}|{Path(fasta_file).stem}")
-            codes = np.concatenate(all_codes, axis=0)
-            flat = runner.predict_codes(codes, average_rc=True)
-            preds = flat.reshape(len(record_ids), -1, flat.shape[-1])
+            preds = _predict_consensus_preds(runner, seqs, shifts)
 
         feats = _match_features(consensus_features(preds, shifts), bst)
         expecto_preds = bst.predict(feats)
@@ -221,8 +254,7 @@ def predict_ref_all_genes(
             raise AssertionError(f"Expected 1 record in ref.fa for {gene}, got {len(records)}")
         rec_id, seq = records[0]
         seq = pad_enformer_seq(rec_id, seq)
-        codes = consensus_window_codes(seq, strand, shifts=shifts)
-        preds = runner.predict_codes(codes, average_rc=True)[None]  # (1, 200, 2002)
+        preds = _predict_consensus_preds(runner, [(seq, strand)], shifts)
         feats = _match_features(consensus_features(preds, shifts), bst)
         ref_preds_out.append(float(bst.predict(feats)[0]))
 
@@ -277,9 +309,9 @@ def sed_for_top_eqtls(
         alt_seq = ref_seq[:snp_i] + str(eqtl["ALT"]) + ref_seq[snp_i + 1 :]
 
         genes.append(eqtl["name"])
-        for seq, bucket in ((ref_seq, ref_pred_list), (alt_seq, alt_pred_list)):
-            codes = consensus_window_codes(seq, strand, shifts=shifts)
-            bucket.append(runner.predict_codes(codes, average_rc=True))
+        pair = _predict_consensus_preds(runner, [(ref_seq, strand), (alt_seq, strand)], shifts)
+        ref_pred_list.append(pair[0])
+        alt_pred_list.append(pair[1])
 
     ref_feats = _match_features(consensus_features(np.stack(ref_pred_list), shifts), bst)
     alt_feats = _match_features(consensus_features(np.stack(alt_pred_list), shifts), bst)

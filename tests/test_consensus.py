@@ -212,3 +212,16 @@ class TestPipelines:
         eqtls.to_csv(eqtls_csv, index=False)
         with pytest.raises(AssertionError, match="does not match ref allele"):
             sed_for_top_eqtls(model, cdir, gfile, str(eqtls_csv), FakeRunner(), str(tmp_path / "x"), shifts=TEST_SHIFTS)
+
+
+def test_span_offsets_match_window_codes():
+    from expecto_tpu.pipeline.consensus import consensus_span_and_offsets
+
+    rng = np.random.default_rng(9)
+    seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 60000)])
+    for strand in ("+", "-"):
+        shifts = [-600, -200, 0, 400]
+        windows = consensus_window_codes(seq, strand, shifts=shifts)
+        span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
+        for i, o in enumerate(offsets):
+            np.testing.assert_array_equal(span[o : o + 2000], windows[i])
