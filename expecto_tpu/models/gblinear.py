@@ -27,8 +27,7 @@ scale-out (scripts/train_bootstrap.sh:4-7).
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field, replace
+from dataclasses import dataclass, field
 
 import jax
 import jax.numpy as jnp

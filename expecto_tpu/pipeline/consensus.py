@@ -25,7 +25,7 @@ import h5py
 import numpy as np
 import pandas as pd
 
-from ..genome.encode import _BYTE_LUT, N_CODE
+from ..genome.encode import _BYTE_LUT
 from ..genome.windows import gene_shifts
 from ..io.xgb import load_expression_model
 from ..models.gblinear import GBLinearModel

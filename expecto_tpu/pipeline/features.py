@@ -22,7 +22,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from ..genome.encode import seqs_to_codes, N_CODE, _BYTE_LUT
+from ..genome.encode import N_CODE, _BYTE_LUT
 from ..genome.fasta import FastaIndex
 from ..genome.windows import gene_shifts, gene_shift_window_bounds
 from ..ops.decay import gene_pos_weights, project_features
