@@ -46,7 +46,7 @@ def measure_tpu_variants_per_sec(params, *, n_variants: int, maxshift: int = 800
 
     runner = BelugaRunner(
         params,
-        batch_size=4096,  # windows-equivalent; ~455 spans of 9 windows per batch (tuned)
+        batch_size=2048,  # windows-equivalent; ~227 spans of 9 windows per batch
         compute_dtype=jnp.bfloat16,
         precision=jax.lax.Precision.DEFAULT,
         out_dtype=np.float16,
