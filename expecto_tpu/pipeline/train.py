@@ -201,15 +201,62 @@ def train_all_tissues(
     target_indices: list[int] | None = None,
     output_dir: str | os.PathLike | None = None,
     metrics_path: str | os.PathLike | None = None,
+    vectorized: bool = False,
     **kwargs,
 ) -> dict[str, TrainResult]:
     """Multi-tissue sweep over expression columns with a metrics.h5 summary
-    (reference train_susztak.py:87-181)."""
+    (reference train_susztak.py:87-181).
+
+    ``vectorized=True`` trains all columns simultaneously via
+    :func:`train_gblinear_multi` (one sweep with (n, K) residual matmuls);
+    only rows where every column is finite participate in that mode (the
+    per-column mode keeps per-column finite filters).
+    """
     from scipy.stats import pearsonr
 
     indices = target_indices or list(range(1, expression_df.shape[1]))
     results: dict[str, TrainResult] = {}
     metrics = {"pearsonr_valid": [], "spearman_valid": [], "tissue": []}
+
+    if vectorized:
+        hp = kwargs.pop("params", None) or GBLinearParams()
+        filter_str = kwargs.pop("filter_str", "all")
+        pseudocount = kwargs.pop("pseudocount", 1e-4)
+        if kwargs:
+            raise TypeError(f"unsupported kwargs for vectorized sweep: {sorted(kwargs)}")
+        Y = np.log(expression_df.iloc[:, indices].values.astype(np.float64) + pseudocount)
+        filt = gene_filter(geneanno, filter_str) & np.isfinite(Y).all(axis=1)
+        trainind, testind = chromosome_split(geneanno)
+        tr = trainind & filt
+        te = testind & filt
+        multi = train_gblinear_multi(Xreducedall[tr], Y[tr].astype(np.float32), hp)
+        X_te, Y_te = Xreducedall[te], Y[te]
+        for j, idx in enumerate(indices):
+            name = str(expression_df.columns[idx])
+            model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
+            pred = model.predict(X_te)
+            rho = float(spearmanr(pred, Y_te[:, j]).statistic) if len(pred) > 1 else float("nan")
+            if output_dir is not None:
+                os.makedirs(output_dir, exist_ok=True)
+                save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.save"))
+            results[name] = TrainResult(model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32))
+        iter_results = results.items()
+        for name, res in iter_results:
+            metrics["tissue"].append(name)
+            metrics["spearman_valid"].append(res.spearman)
+            finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
+            metrics["pearsonr_valid"].append(
+                float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
+            )
+        if metrics_path is not None:
+            import h5py
+
+            with h5py.File(metrics_path, "w") as f:
+                f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valid"]))
+                f.create_dataset("spearman_valid", data=np.asarray(metrics["spearman_valid"]))
+                f.create_dataset("tissue", data=np.array(metrics["tissue"], dtype="S"))
+        return results
+
     for idx in indices:
         name = str(expression_df.columns[idx])
         prefix = None

@@ -292,3 +292,55 @@ class TestVectorizedBootstrap:
         for v, l in zip(vec, loop):
             np.testing.assert_allclose(v.model.weight, l.model.weight, atol=2e-4)
             assert abs(v.model.bias - l.model.bias) < 2e-4
+
+
+class TestReplicator:
+    def test_replicate_gene_features(self, tiny_genome, tmp_path):
+        from expecto_tpu.pipeline.features import replicate_gene_features, GeneRecord
+        from expecto_tpu.genome.encode import codes_to_onehot, reverse_complement_codes
+
+        class FakeRunner:
+            def __init__(self):
+                rng = np.random.default_rng(0)
+                self.proj = rng.normal(size=(2000 * 4, 2002)).astype(np.float32) * 0.01
+
+            def predict_codes(self, codes, average_rc=False):
+                x = codes_to_onehot(codes).reshape(codes.shape[0], -1)
+                out = x @ self.proj
+                if average_rc:
+                    xr = codes_to_onehot(reverse_complement_codes(codes)).reshape(codes.shape[0], -1)
+                    out = (out + xr @ self.proj) / 2
+                return out
+
+        fa, _ = tiny_genome
+        genes = [GeneRecord("G1", "chr1", 30000, 1), GeneRecord("G2", "chr1", 40000, -1)]
+        out = replicate_gene_features(genes, fa, FakeRunner(), out_dir=tmp_path)
+        assert set(out) == {"G1", "G2"}
+        assert out["G1"].shape == (200, 2002)
+        loaded = np.load(tmp_path / "G1.npy")
+        np.testing.assert_array_equal(loaded, out["G1"])
+
+
+class TestVectorizedTissues:
+    def test_matches_per_column(self):
+        from expecto_tpu.models.gblinear import GBLinearParams
+        from expecto_tpu.pipeline.train import train_all_tissues
+
+        rng = np.random.default_rng(20)
+        n = 150
+        X = rng.normal(size=(n, 10)).astype(np.float32)
+        geneanno = pd.DataFrame({
+            "id": [f"G{i}" for i in range(n)],
+            "seqnames": rng.choice(["chr1", "chr8"], size=n, p=[0.8, 0.2]),
+            "type": ["protein_coding"] * n,
+        })
+        expr_df = pd.DataFrame({
+            "gene": geneanno["id"],
+            "t1": np.exp(rng.normal(size=n)),
+            "t2": np.exp(rng.normal(size=n)),
+        })
+        hp = GBLinearParams(eta=0.3, reg_lambda=2.0, num_round=25)
+        vec = train_all_tissues(X, geneanno, expr_df, params=hp, vectorized=True)
+        loop = train_all_tissues(X, geneanno, expr_df, params=hp)
+        for name in ("t1", "t2"):
+            np.testing.assert_allclose(vec[name].model.weight, loop[name].model.weight, atol=2e-5)
