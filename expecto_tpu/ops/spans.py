@@ -20,6 +20,13 @@ After conv6 each window is a static 106-frame slice of its phase; the dense
 layers run per window as before. Per-window conv FLOPs drop ~5x (variant
 path) / ~20x (gene path); results are identical to the per-window forward
 up to floating-point reduction order (tested at 1e-5).
+
+Incremental alt scoring: conv6 frame ``f`` of phase ``ph`` depends only on
+span inputs ``[16f + 4ph, 16f + 4ph + 310)``, so a single-base substitution
+perturbs ~20 conv6 frames. :func:`conv6_phases_patch` recomputes just those
+frames from a short 16-aligned sub-span and splices them into the reference
+allele's phase buffers — the alt allele's conv cost drops ~80%
+(runner._score_spans_packed uses this; equality tested).
 """
 
 from __future__ import annotations
@@ -29,6 +36,10 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..models.beluga import BelugaParams
+
+#: conv6 frame f (phase ph) reads span inputs [16f + 4ph, 16f + 4ph + RF)
+CONV6_RF = 310
+CONV6_STRIDE = 16
 
 
 def _conv_relu(x, p, precision):
@@ -46,54 +57,111 @@ def _pool4_from(x, phase: int):
     return jnp.max(x[:, phase : phase + usable, :].reshape(n, usable // 4, 4, c), axis=2)
 
 
-def beluga_forward_spans(
+def conv6_phases(
     params: BelugaParams,
     spans: jax.Array,
+    phases,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> dict[int, jax.Array]:
+    """conv1..conv6 over full spans, once per pool2 phase.
+
+    Returns {phase: (N, n_frames, 640)}; window at span offset ``o`` occupies
+    frames [ (o//4 - ph)//4 : +106 ] of phase ``ph = (o//4) % 4``.
+    """
+    h = _conv_relu(spans, params["conv0"], precision)
+    h = _conv_relu(h, params["conv1"], precision)
+    p1 = _pool4_from(h, 0)
+    h = _conv_relu(p1, params["conv2"], precision)
+    h = _conv_relu(h, params["conv3"], precision)
+    out = {}
+    for ph in sorted(set(int(p) for p in phases)):
+        p2 = _pool4_from(h, ph)
+        g = _conv_relu(p2, params["conv4"], precision)
+        out[ph] = _conv_relu(g, params["conv5"], precision)
+    return out
+
+
+def conv6_frame_range(mutpos: int, ph: int) -> tuple[int, int]:
+    """[f_lo, f_hi) conv6 frames of phase ``ph`` whose receptive field
+    contains span position ``mutpos``."""
+    f_lo = max(0, -(-(mutpos - CONV6_RF + 1 - 4 * ph) // CONV6_STRIDE))
+    f_hi = (mutpos - 4 * ph) // CONV6_STRIDE + 1
+    return f_lo, max(f_hi, f_lo)
+
+
+def conv6_phases_patch(
+    params: BelugaParams,
+    ref_phases: dict[int, jax.Array],
+    alt_spans: jax.Array,
+    mutpos: int,
+    mut_len: int,
+    phases,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> dict[int, jax.Array]:
+    """Phase buffers for the alt allele by recomputing only the conv6 frames
+    whose receptive field overlaps ``[mutpos, mutpos + mut_len)``.
+
+    A 16-aligned sub-span covering those frames' receptive fields is run
+    through the conv stack; because the sub-span start is ≡ 0 (mod 16), its
+    pool phases align with the full span's and sub-frame ``f'`` equals span
+    frame ``f' + s0/16``. All indices are static (the serving path centers
+    every variant at the same ``mutpos``).
+    """
+    span_len = alt_spans.shape[1]
+    phases = sorted(set(int(p) for p in phases))
+    # union of affected frames over the mutated interval: the first base
+    # gives the lowest frame, the last base the highest
+    ranges = {}
+    for ph in phases:
+        f_lo, _ = conv6_frame_range(mutpos, ph)
+        _, f_hi = conv6_frame_range(mutpos + mut_len - 1, ph)
+        f_hi = min(f_hi, ref_phases[ph].shape[1])
+        ranges[ph] = (f_lo, f_hi)
+
+    # sub-span covering every phase's frames, 16-aligned
+    in_lo = min(CONV6_STRIDE * ranges[ph][0] + 4 * ph for ph in phases)
+    in_hi = max(CONV6_STRIDE * (ranges[ph][1] - 1) + 4 * ph + CONV6_RF for ph in phases)
+    s0 = max(0, (in_lo // CONV6_STRIDE) * CONV6_STRIDE)
+    s1 = min(span_len, in_hi)
+    sub = lax.slice_in_dim(alt_spans, s0, s1, axis=1)
+    sub_phases = conv6_phases(params, sub, phases, precision=precision)
+
+    out = {}
+    for ph in phases:
+        f_lo, f_hi = ranges[ph]
+        n_frames = f_hi - f_lo
+        buf = ref_phases[ph]
+        if n_frames <= 0:
+            out[ph] = buf
+            continue
+        sub_lo = f_lo - s0 // CONV6_STRIDE
+        patch = lax.slice_in_dim(sub_phases[ph], sub_lo, sub_lo + n_frames, axis=1)
+        out[ph] = lax.dynamic_update_slice_in_dim(buf, patch.astype(buf.dtype), f_lo, axis=1)
+    return out
+
+
+def fc_from_phases(
+    params: BelugaParams,
+    phase_conv6: dict[int, jax.Array],
     offsets,
     *,
     precision=lax.Precision.HIGHEST,
-    window_len: int = 2000,
     logits: bool = False,
 ) -> jax.Array:
-    """Forward over windows ``spans[:, o : o+window_len, :]`` for each offset.
+    """Dense layers per window from the conv6 phase buffers.
 
-    Args:
-        spans: (N, span_len, 4) one-hot spans.
-        offsets: static window start offsets (each a multiple of 4; the
-            standard pipelines use multiples of 200).
-
-    Returns:
-        (N, n_offsets, 2002) track probabilities, matching
-        ``beluga_forward`` applied per window.
+    When the window starts within a phase are uniformly strided (true for
+    the standard 200-bp shift grids), fc1 runs as one strided valid conv
+    with kernel (106, 640, 2003) — the length-major fc1 matrix reshaped —
+    avoiding the (N, n_offsets, 67840) gather.
     """
     offsets = [int(o) for o in offsets]
-    for o in offsets:
-        if o % 4 != 0:
-            raise ValueError(f"offset {o} not aligned to pool1 stride 4")
+    n = next(iter(phase_conv6.values())).shape[0]
+    dtype = next(iter(phase_conv6.values())).dtype
+    fc1_w = params["fc1"]["w"].astype(dtype)
 
-    h = _conv_relu(spans, params["conv0"], precision)
-    h = _conv_relu(h, params["conv1"], precision)  # (N, span-14, 320)
-    p1 = _pool4_from(h, 0)  # window w: p1[o//4 : o//4+496]
-    h = _conv_relu(p1, params["conv2"], precision)
-    h = _conv_relu(h, params["conv3"], precision)  # window w: [o//4 : o//4+482]
-
-    # pool2 phases: offset//4 mod 4
-    phases = sorted({(o // 4) % 4 for o in offsets})
-    phase_conv6 = {}
-    for ph in phases:
-        p2 = _pool4_from(h, ph)
-        g = _conv_relu(p2, params["conv4"], precision)
-        g = _conv_relu(g, params["conv5"], precision)
-        phase_conv6[ph] = g  # window w: [ (o//4 - ph)//4 : +106 ]
-
-    n = spans.shape[0]
-    fc1_w = params["fc1"]["w"].astype(h.dtype)
-
-    # dense-1 applied per window. When the starts within a pooling phase are
-    # uniformly strided (always true for the standard 200-bp shift grids),
-    # fc1 runs as ONE strided valid convolution over the phase buffer with
-    # kernel (106, 640, 2003) — the length-major fc1 matrix reshaped — which
-    # avoids materializing the (N, n_offsets, 67840) gather.
     per_phase_starts: dict[int, list[tuple[int, int]]] = {}
     for i, o in enumerate(offsets):
         ph = (o // 4) % 4
@@ -121,12 +189,41 @@ def beluga_forward_spans(
                 win = lax.slice_in_dim(buf, s, s + 106, axis=1).reshape(n, -1)
                 h1_cols[i] = jnp.dot(win, fc1_w, precision=precision)
     h = jnp.stack(h1_cols, axis=1)  # (N, n_offsets, 2003)
-    h = jax.nn.relu(h + params["fc1"]["b"].astype(h.dtype))
+    h = jax.nn.relu(h + params["fc1"]["b"].astype(dtype))
     out = (
-        jnp.einsum("nok,km->nom", h, params["fc2"]["w"].astype(h.dtype), precision=precision)
-        + params["fc2"]["b"].astype(h.dtype)
+        jnp.einsum("nok,km->nom", h, params["fc2"]["w"].astype(dtype), precision=precision)
+        + params["fc2"]["b"].astype(dtype)
     )
     return out if logits else jax.nn.sigmoid(out)
+
+
+def beluga_forward_spans(
+    params: BelugaParams,
+    spans: jax.Array,
+    offsets,
+    *,
+    precision=lax.Precision.HIGHEST,
+    window_len: int = 2000,
+    logits: bool = False,
+) -> jax.Array:
+    """Forward over windows ``spans[:, o : o+window_len, :]`` for each offset.
+
+    Args:
+        spans: (N, span_len, 4) one-hot spans.
+        offsets: static window start offsets (each a multiple of 4; the
+            standard pipelines use multiples of 200).
+
+    Returns:
+        (N, n_offsets, 2002) track probabilities, matching
+        ``beluga_forward`` applied per window.
+    """
+    offsets = [int(o) for o in offsets]
+    for o in offsets:
+        if o % 4 != 0:
+            raise ValueError(f"offset {o} not aligned to pool1 stride 4")
+    phases = {(o // 4) % 4 for o in offsets}
+    phase_conv6 = conv6_phases(params, spans, phases, precision=precision)
+    return fc_from_phases(params, phase_conv6, offsets, precision=precision, logits=logits)
 
 
 def span_offsets_for_shifts(shifts, *, stride_origin: int | None = None) -> tuple[list[int], int]:

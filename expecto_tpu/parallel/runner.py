@@ -29,7 +29,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
-from ..ops.spans import beluga_forward_spans
+from ..ops.spans import beluga_forward_spans, conv6_phases, conv6_phases_patch, fc_from_phases
 from .mesh import DATA_AXIS, get_mesh
 
 
@@ -185,29 +185,44 @@ class BelugaRunner:
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
         def _score_spans_packed(params, packed_ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
-            # Transfer-optimized serving: one 4-bit-packed span per variant;
-            # the alt span is spliced on device (alt_allele: (N, A) codes,
-            # -1 entries keep the reference base).
+            # Transfer-optimized + incremental serving: one 4-bit-packed span
+            # per variant; the alt span is spliced on device (alt_allele:
+            # (N, A) codes, -1 keeps the reference base), and the alt conv
+            # stack recomputes only the ~20 conv6 frames whose receptive
+            # field covers the variant (ops/spans.conv6_phases_patch) — ~80%
+            # of the alt allele's conv FLOPs are reused from ref.
             ref = unpack_codes(packed_ref, span_len)
             a_len = alt_allele.shape[1]
             patch = jax.lax.dynamic_slice_in_dim(ref, mutpos, a_len, axis=1)
             patch = jnp.where(alt_allele >= 0, alt_allele.astype(jnp.int8), patch)
             alt = jax.lax.dynamic_update_slice_in_dim(ref, patch, mutpos, axis=1)
 
-            def preds_of(spans):
-                x = onehot_from_codes(spans, dtype=compute_dtype)
-                y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
-                extra = span_len - 2000
-                rc_off = tuple(extra - o for o in offsets)
-                y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_off, precision=precision).astype(jnp.float32)
+            x_ref = onehot_from_codes(ref, dtype=compute_dtype)
+            x_alt = onehot_from_codes(alt, dtype=compute_dtype)
+            extra = span_len - 2000
+            rc_offsets = tuple(extra - o for o in offsets)
+            phases_f = {(o // 4) % 4 for o in offsets}
+            phases_r = {(o // 4) % 4 for o in rc_offsets}
+            mut_rc = span_len - mutpos - a_len
+
+            ph_ref_f = conv6_phases(params, x_ref, phases_f, precision=precision)
+            ph_ref_r = conv6_phases(params, x_ref[:, ::-1, ::-1], phases_r, precision=precision)
+            ph_alt_f = conv6_phases_patch(params, ph_ref_f, x_alt, mutpos, a_len, phases_f, precision=precision)
+            ph_alt_r = conv6_phases_patch(
+                params, ph_ref_r, x_alt[:, ::-1, ::-1], mut_rc, a_len, phases_r, precision=precision
+            )
+
+            def preds(ph_fwd, ph_rc):
+                y = fc_from_phases(params, ph_fwd, offsets, precision=precision).astype(jnp.float32)
+                y_rc = fc_from_phases(params, ph_rc, rc_offsets, precision=precision).astype(jnp.float32)
                 return (y + y_rc) * 0.5
 
             def feats(p):
                 f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(preds_of(ref)) @ W + bias
-            ALT = feats(preds_of(alt)) @ W + bias
+            REF = feats(preds(ph_ref_f, ph_ref_r)) @ W + bias
+            ALT = feats(preds(ph_alt_f, ph_alt_r)) @ W + bias
             return REF, ALT
 
         self._score_spans_packed = _score_spans_packed

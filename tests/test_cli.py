@@ -238,3 +238,65 @@ def test_closest_genes_cli(tmp_path):
     assert cg_main([str(vcf_path), "--annoFile", str(anno), "-o", str(tmp_path / "out")]) == 0
     genes = pd.read_csv(tmp_path / "out" / "closest_genes.tsv", sep="\t", header=None)
     assert genes.shape[0] == 1 and genes.iloc[0, 9] == "E1"
+
+
+def test_analysis_cli_interpret_features(tmp_path):
+    from expecto_tpu.cli.analysis import main as analysis_main
+
+    rng = np.random.default_rng(7)
+    n_marks = 6
+    X = rng.normal(size=(60, 10 * n_marks)).astype(np.float32)
+    np.save(tmp_path / "X.npy", X)
+    pd.DataFrame({
+        "id": [f"G{i}" for i in range(60)],
+        "seqnames": rng.choice(["chr1", "chr8"], size=60),
+        "type": ["protein_coding"] * 60,
+    }).to_csv(tmp_path / "anno.csv", index=False)
+    features = pd.DataFrame({
+        "Cell type": ["c"] * n_marks,
+        "Assay": [f"a{i}" for i in range(n_marks)],
+        "Treatment": [""] * n_marks,
+        "Assay type": ["TF"] * n_marks,
+        "Source": ["x"] * n_marks,
+    }, index=range(1, n_marks + 1))
+    features.to_csv(tmp_path / "features.tsv", sep="\t")
+
+    rc = analysis_main([
+        "interpret-features",
+        "--inputFile", str(tmp_path / "X.npy"),
+        "--annoFile", str(tmp_path / "anno.csv"),
+        "--belugaFeatures", str(tmp_path / "features.tsv"),
+        "--n_clusters", "3",
+        "--out_dir", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    table = pd.read_csv(tmp_path / "out" / "all_feature_clusters.tsv", sep="\t", index_col=0)
+    assert table.shape[0] == n_marks * 10
+    assert len(list((tmp_path / "out" / "clusters").glob("cluster_*.tsv"))) == 3
+
+    # grouped mode
+    rc = analysis_main([
+        "interpret-features", "--grouped",
+        "--inputFile", str(tmp_path / "X.npy"),
+        "--annoFile", str(tmp_path / "anno.csv"),
+        "--belugaFeatures", str(tmp_path / "features.tsv"),
+        "--n_clusters", "2",
+        "--out_dir", str(tmp_path / "grouped"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "grouped" / "cluster_sizes.tsv").exists()
+
+
+def test_analysis_cli_cluster_viz(tmp_path):
+    from expecto_tpu.cli.analysis import main as analysis_main
+
+    rng = np.random.default_rng(8)
+    X = np.concatenate([rng.normal(0, 0.1, (15, 5)), rng.normal(4, 0.1, (15, 5))])
+    np.save(tmp_path / "emb.npy", X)
+    rc = analysis_main([
+        "cluster-viz", str(tmp_path / "emb.npy"), "--method", "kmeans", "--k", "2",
+        "--out_dir", str(tmp_path / "cv"),
+    ])
+    assert rc == 0
+    labels = pd.read_csv(tmp_path / "cv" / "clusters.tsv", sep="\t")["cluster"]
+    assert labels.nunique() == 2

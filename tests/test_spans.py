@@ -147,3 +147,58 @@ class TestServing:
         name = "m.save"
         np.testing.assert_allclose(serving[name].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5)
         np.testing.assert_allclose(serving[f"REF_{name}"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4)
+
+
+class TestIncrementalPatch:
+    def test_patched_phases_equal_full_forward(self, params):
+        """conv6 patch of a single-base substitution == full alt forward."""
+        from expecto_tpu.ops.spans import (
+            conv6_phases,
+            conv6_phases_patch,
+            fc_from_phases,
+            beluga_forward_spans,
+        )
+
+        maxshift = 400
+        offsets = tuple(s + maxshift for s in [0, -200, -400, 200, 400])
+        span_len = 2 * maxshift + 2000
+        mutpos = maxshift + 999
+        rng = np.random.default_rng(11)
+        codes = rng.integers(0, 4, size=(2, span_len))
+        alt_codes = codes.copy()
+        alt_codes[:, mutpos] = (alt_codes[:, mutpos] + 1) % 4
+        eye = np.eye(5, 4, dtype=np.float32)
+        ref = jnp.asarray(eye[codes])
+        alt = jnp.asarray(eye[alt_codes])
+
+        phases = {(o // 4) % 4 for o in offsets}
+        ref_ph = conv6_phases(params, ref, phases)
+        patched = conv6_phases_patch(params, ref_ph, alt, mutpos, 1, phases)
+        got = np.asarray(fc_from_phases(params, patched, offsets))
+        want = np.asarray(beluga_forward_spans(params, alt, offsets))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+    def test_multibase_patch(self, params):
+        from expecto_tpu.ops.spans import (
+            conv6_phases,
+            conv6_phases_patch,
+            fc_from_phases,
+            beluga_forward_spans,
+        )
+
+        maxshift = 400
+        offsets = tuple(s + maxshift for s in [0, -400, 200])
+        span_len = 2 * maxshift + 2000
+        mutpos = maxshift + 999
+        rng = np.random.default_rng(12)
+        codes = rng.integers(0, 4, size=(1, span_len))
+        alt_codes = codes.copy()
+        alt_codes[:, mutpos : mutpos + 3] = (alt_codes[:, mutpos : mutpos + 3] + 2) % 4
+        eye = np.eye(5, 4, dtype=np.float32)
+        ref = jnp.asarray(eye[codes])
+        alt = jnp.asarray(eye[alt_codes])
+        phases = {(o // 4) % 4 for o in offsets}
+        patched = conv6_phases_patch(params, conv6_phases(params, ref, phases), alt, mutpos, 3, phases)
+        got = np.asarray(fc_from_phases(params, patched, offsets))
+        want = np.asarray(beluga_forward_spans(params, alt, offsets))
+        np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
