@@ -227,6 +227,18 @@ class BelugaRunner:
 
         self._score_spans_packed = _score_spans_packed
 
+    def _run_pipelined(self, jobs, write):
+        """Drain a stream of (start, real, device_result) with up to
+        ``pipeline_depth`` results in flight; ``write(start, real, result)``
+        fetches to host."""
+        in_flight = []
+        for job in jobs:
+            in_flight.append(job)
+            if len(in_flight) >= self.pipeline_depth:
+                write(*in_flight.pop(0))
+        for job in in_flight:
+            write(*job)
+
     def _batches(self, codes: np.ndarray):
         n = codes.shape[0]
         for start in range(0, n, self.batch_size):
@@ -246,16 +258,13 @@ class BelugaRunner:
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
         out = np.empty((n, 2002), dtype=self.out_dtype)
-        in_flight: list[tuple[int, int, jax.Array]] = []
-        for start, real, chunk in self._batches(codes):
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            y = self._forward(self.params, dev, with_rc=average_rc)
-            in_flight.append((start, real, y))
-            if len(in_flight) >= self.pipeline_depth:
-                s, r, yy = in_flight.pop(0)
-                out[s : s + r] = np.asarray(yy)[:r]
-        for s, r, yy in in_flight:
-            out[s : s + r] = np.asarray(yy)[:r]
+
+        def jobs():
+            for start, real, chunk in self._batches(codes):
+                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                yield start, real, self._forward(self.params, dev, with_rc=average_rc)
+
+        self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
         return out
 
     def _span_batches(self, span_codes: np.ndarray, rows: int):
@@ -288,16 +297,13 @@ class BelugaRunner:
         rows = self._span_rows(len(offsets))
         shape = (n, 2, len(offsets), 2002) if rc_mode == "concat" else (n, len(offsets), 2002)
         out = np.empty(shape, dtype=self.out_dtype)
-        in_flight = []
-        for start, real, chunk in self._span_batches(span_codes, rows):
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            y = self._forward_spans(self.params, dev, offsets, rc_mode)
-            in_flight.append((start, real, y))
-            if len(in_flight) >= self.pipeline_depth:
-                s0, r0, yy = in_flight.pop(0)
-                out[s0 : s0 + r0] = np.asarray(yy)[:r0]
-        for s0, r0, yy in in_flight:
-            out[s0 : s0 + r0] = np.asarray(yy)[:r0]
+
+        def jobs():
+            for start, real, chunk in self._span_batches(span_codes, rows):
+                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                yield start, real, self._forward_spans(self.params, dev, offsets, rc_mode)
+
+        self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
         return out
 
     def predict_spans_project(self, span_codes: np.ndarray, offsets, pos_weights: np.ndarray) -> np.ndarray:
@@ -310,16 +316,13 @@ class BelugaRunner:
         n = span_codes.shape[0]
         rows = self._span_rows(len(offsets))
         out = np.empty((n, pos_weights.shape[0] * 2002), dtype=np.float32)
-        in_flight = []
-        for start, real, chunk in self._span_batches(span_codes, rows):
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            feats = self._forward_spans_project(self.params, dev, pw, offsets)
-            in_flight.append((start, real, feats))
-            if len(in_flight) >= self.pipeline_depth:
-                s0, r0, ff = in_flight.pop(0)
-                out[s0 : s0 + r0] = np.asarray(ff)[:r0]
-        for s0, r0, ff in in_flight:
-            out[s0 : s0 + r0] = np.asarray(ff)[:r0]
+
+        def jobs():
+            for start, real, chunk in self._span_batches(span_codes, rows):
+                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                yield start, real, self._forward_spans_project(self.params, dev, pw, offsets)
+
+        self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
         return out
 
     def score_variant_spans(
@@ -345,31 +348,31 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
-        in_flight = []
-        for start in range(0, n, rows):
-            end = min(start + rows, n)
-            real = end - start
-            pad = rows - real
-            r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
-            a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
-            b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
-            out = self._score_spans(
-                self.params,
-                jax.device_put(jnp.asarray(r_chunk), self._batch_sharding),
-                jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
-                jnp.asarray(b_chunk),
-                W_dev,
-                bias_dev,
-                offsets,
-            )
-            in_flight.append((start, real, out))
-            if len(in_flight) >= self.pipeline_depth:
-                s0, r0, (rr, aa) = in_flight.pop(0)
-                REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
-                ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
-        for s0, r0, (rr, aa) in in_flight:
+
+        def jobs():
+            for start in range(0, n, rows):
+                end = min(start + rows, n)
+                real = end - start
+                pad = rows - real
+                r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
+                a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
+                b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
+                yield start, real, self._score_spans(
+                    self.params,
+                    jax.device_put(jnp.asarray(r_chunk), self._batch_sharding),
+                    jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                    jnp.asarray(b_chunk),
+                    W_dev,
+                    bias_dev,
+                    offsets,
+                )
+
+        def write(s0, r0, pair):
+            rr, aa = pair
             REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
             ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+
+        self._run_pipelined(jobs(), write)
         return REF, ALT
 
     def score_variant_spans_packed(
@@ -397,33 +400,33 @@ class BelugaRunner:
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
         packed_all = pack_codes(ref_spans)
-        in_flight = []
-        for start in range(0, n, rows):
-            end = min(start + rows, n)
-            real = end - start
-            pad = rows - real
-            p_chunk = np.pad(packed_all[start:end], ((0, pad), (0, 0)))
-            a_chunk = np.pad(alt_alleles[start:end], ((0, pad), (0, 0)), constant_values=-1)
-            b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
-            out = self._score_spans_packed(
-                self.params,
-                jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
-                jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
-                jnp.asarray(b_chunk),
-                W_dev,
-                bias_dev,
-                offsets,
-                span_len,
-                int(mutpos),
-            )
-            in_flight.append((start, real, out))
-            if len(in_flight) >= self.pipeline_depth:
-                s0, r0, (rr, aa) = in_flight.pop(0)
-                REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
-                ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
-        for s0, r0, (rr, aa) in in_flight:
+
+        def jobs():
+            for start in range(0, n, rows):
+                end = min(start + rows, n)
+                real = end - start
+                pad = rows - real
+                p_chunk = np.pad(packed_all[start:end], ((0, pad), (0, 0)))
+                a_chunk = np.pad(alt_alleles[start:end], ((0, pad), (0, 0)), constant_values=-1)
+                b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
+                yield start, real, self._score_spans_packed(
+                    self.params,
+                    jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
+                    jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                    jnp.asarray(b_chunk),
+                    W_dev,
+                    bias_dev,
+                    offsets,
+                    span_len,
+                    int(mutpos),
+                )
+
+        def write(s0, r0, pair):
+            rr, aa = pair
             REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
             ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+
+        self._run_pipelined(jobs(), write)
         return REF, ALT
 
     def predict_codes_fwd_rc_concat(self, codes: np.ndarray) -> np.ndarray:
@@ -453,18 +456,14 @@ class BelugaRunner:
         n_genes = codes.shape[0] // n_shifts
         out = np.empty((n_genes, pos_weights.shape[0] * 2002), dtype=np.float32)
 
-        in_flight: list[tuple[int, int, jax.Array]] = []
-        for g0 in range(0, n_genes, genes_per_batch):
-            g1 = min(g0 + genes_per_batch, n_genes)
-            chunk = codes[g0 * n_shifts : g1 * n_shifts]
-            if chunk.shape[0] != rows:
-                chunk = np.pad(chunk, ((0, rows - chunk.shape[0]), (0, 0)))
-            dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-            feats = self._forward_project(self.params, dev, pw, n_shifts)
-            in_flight.append((g0, g1 - g0, feats))
-            if len(in_flight) >= self.pipeline_depth:
-                s, r, ff = in_flight.pop(0)
-                out[s : s + r] = np.asarray(ff)[:r]
-        for s, r, ff in in_flight:
-            out[s : s + r] = np.asarray(ff)[:r]
+        def jobs():
+            for g0 in range(0, n_genes, genes_per_batch):
+                g1 = min(g0 + genes_per_batch, n_genes)
+                chunk = codes[g0 * n_shifts : g1 * n_shifts]
+                if chunk.shape[0] != rows:
+                    chunk = np.pad(chunk, ((0, rows - chunk.shape[0]), (0, 0)))
+                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                yield g0, g1 - g0, self._forward_project(self.params, dev, pw, n_shifts)
+
+        self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
         return out
