@@ -300,3 +300,43 @@ def test_analysis_cli_cluster_viz(tmp_path):
     assert rc == 0
     labels = pd.read_csv(tmp_path / "cv" / "clusters.tsv", sep="\t")["cluster"]
     assert labels.nunique() == 2
+
+
+def test_score_cli_end_to_end(tmp_path, weights_npz, genome_path):
+    """One-shot serving CLI: VCF -> output.csv, consistent with the h5 path."""
+    from expecto_tpu.cli.score import main as score_main
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+
+    gpath, contigs = genome_path
+    positions = [9000, 21000]
+    vcf_path = tmp_path / "in.vcf"
+    rows, gene_rows = [], []
+    for pos in positions:
+        ref = contigs["chr1"][pos - 1]
+        alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+        rows.append(f"chr1\t{pos}\t.\t{ref}\t{alt}")
+        gene_rows.append(f"1\t{pos-1}\t{pos}\t{ref}\t{alt}\t1\t9999\t10000\t+\tG{pos}\t{10000-pos}")
+    vcf_path.write_text("\n".join(rows) + "\n")
+    gene_path = tmp_path / "genes.tsv"
+    gene_path.write_text("\n".join(gene_rows) + "\n")
+
+    model_path = tmp_path / "m.save"
+    rng = np.random.default_rng(4)
+    save_xgb07_binary(GBLinearModel(weight=rng.normal(size=20020).astype(np.float32), bias=0.3), model_path)
+    mlist = tmp_path / "modellist"
+    mlist.write_text(f"ModelName\tTissue\n{model_path}\tT1\n")
+
+    out_csv = tmp_path / "output.csv"
+    rc = score_main([
+        str(vcf_path), "--geneFile", str(gene_path),
+        "--modelList", str(mlist), "--genome", gpath,
+        "--beluga_weights", weights_npz, "--maxshift", "200",
+        "--batchsize", "32", "--fp32",
+        "--output", str(out_csv),
+    ])
+    assert rc == 0
+    out = pd.read_csv(out_csv)
+    assert out.shape[0] == 2
+    assert {"T1", "REF_T1", "ALT_T1"} <= set(out.columns)
+    np.testing.assert_allclose(out["T1"], out["ALT_T1"] - out["REF_T1"], atol=1e-5)
