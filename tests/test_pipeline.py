@@ -344,3 +344,30 @@ class TestVectorizedTissues:
         loop = train_all_tissues(X, geneanno, expr_df, params=hp)
         for name in ("t1", "t2"):
             np.testing.assert_allclose(vec[name].model.weight, loop[name].model.weight, atol=2e-5)
+
+
+class TestLegacyModelScoring:
+    def test_legacy_20030_model_on_example(self, tmp_path):
+        """A legacy 20,030-feature model (original FunctionLab format) scores
+        the bundled example via automatic zero-column padding."""
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.ops.decay import variant_basis, project_features, pad_legacy_20030
+
+        effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5")
+        coor = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf", sep="\t", header=None, comment="#")
+        gene = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf.bed.sorted.bed.closestgene", sep="\t", header=None)
+
+        rng = np.random.default_rng(13)
+        legacy = GBLinearModel(weight=rng.normal(size=20030).astype(np.float32) * 0.01, bias=0.1, base_score=2.0)
+        p = tmp_path / "legacy.save"
+        save_xgb07_binary(legacy, p)
+
+        df = score_sed_multimodel(effects, coor, gene, [str(p)])
+        assert df.shape[0] == 10
+
+        # oracle: pad features then effect = -(padded @ w)
+        dist = -gene.iloc[:, -1].values
+        strand = gene.iloc[:, -3].values
+        basis = variant_basis(dist, strand, variant_shifts(800))
+        feats = pad_legacy_20030(project_features(basis, effects["diff"]))
+        np.testing.assert_allclose(df["legacy.save"].values, -(feats @ legacy.weight), rtol=1e-4, atol=1e-7)
