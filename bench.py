@@ -158,8 +158,10 @@ def main() -> None:
 
     # persistent compile cache: the span kernels take minutes to compile via
     # the remote-compile relay; cache them across bench invocations
-    _jax.config.update("jax_compilation_cache_dir", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
-    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    os.environ.setdefault("EXPECTO_TPU_CACHE_DIR", os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+    from expecto_tpu.utils.compile_cache import enable_compile_cache
+
+    enable_compile_cache()
 
     import torch
 

@@ -30,6 +30,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
 from ..ops.spans import beluga_forward_spans, conv6_phases, conv6_phases_patch, fc_from_phases
+from ..utils.compile_cache import enable_compile_cache
 from .mesh import DATA_AXIS, get_mesh
 
 
@@ -86,6 +87,7 @@ class BelugaRunner:
         out_dtype=np.float32,
         pipeline_depth: int = 4,
     ):
+        enable_compile_cache()
         self.mesh = mesh or get_mesh()
         n_dev = self.mesh.devices.size
         self.batch_size = -(-batch_size // n_dev) * n_dev
