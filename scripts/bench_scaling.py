@@ -1,0 +1,95 @@
+"""Scaling harness: variants/s across mesh sizes.
+
+On TPU hardware this measures the real chip(s); with no multi-chip
+hardware available it also runs the identical sharded program on a virtual
+N-device CPU mesh (``--cpu-mesh``) so the collectives and shardings execute
+and per-mesh-size consistency can be verified (the CPU numbers validate
+mechanism, not speed). Usage:
+
+    python scripts/bench_scaling.py            # real backend, all devices
+    python scripts/bench_scaling.py --cpu-mesh # 1/2/4/8-device virtual mesh
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--cpu-mesh", action="store_true", help="virtual CPU mesh (mechanism validation)")
+    ap.add_argument("--n-variants", type=int, default=None)
+    ap.add_argument("--maxshift", type=int, default=800)
+    args = ap.parse_args()
+
+    if args.cpu_mesh:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "tests"))
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+    import numpy as np
+    import torch
+    import jax
+    import jax.numpy as jnp
+
+    if args.cpu_mesh:
+        jax.config.update("jax_platforms", "cpu")
+
+    from torch_oracle import TorchBeluga
+    from expecto_tpu.models.convert import state_dict_to_params
+    from expecto_tpu.genome.windows import variant_shifts
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.parallel.mesh import get_mesh
+    from expecto_tpu.parallel.runner import BelugaRunner
+
+    torch.manual_seed(0)
+    params = state_dict_to_params(TorchBeluga().eval().state_dict_reference_keys())
+
+    n_dev_total = jax.device_count()
+    n_variants = args.n_variants or (1024 if not args.cpu_mesh else 16)
+    shifts = variant_shifts(args.maxshift)
+    offsets = tuple(s + args.maxshift for s in shifts)
+    span_len = 2 * args.maxshift + 2000
+    mutpos = args.maxshift + 999
+    rng = np.random.default_rng(0)
+    ref = rng.integers(0, 5, size=(n_variants, span_len), dtype=np.int8)
+    alt = ((ref[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+    basis = variant_basis(
+        rng.integers(-20000, 20000, n_variants), rng.choice(["+", "-"], n_variants), shifts
+    ).astype(np.float32)
+    W = (rng.standard_normal((20020, 8)) * 0.01).astype(np.float32)
+    bias = np.zeros(8, np.float32)
+
+    sizes = [s for s in (1, 2, 4, 8) if s <= n_dev_total]
+    prev = None
+    for n_dev in sizes:
+        runner = BelugaRunner(
+            params,
+            batch_size=max(256 * n_dev, 9 * n_dev),
+            mesh=get_mesh(n_dev),
+            compute_dtype=jnp.float32 if args.cpu_mesh else jnp.bfloat16,
+            precision=jax.lax.Precision.HIGHEST if args.cpu_mesh else jax.lax.Precision.DEFAULT,
+        )
+        runner.score_variant_spans_packed(ref[:9], mutpos, alt[:9], offsets, basis[:, :9], W, bias)
+        t0 = time.perf_counter()
+        REF, ALT = runner.score_variant_spans_packed(ref, mutpos, alt, offsets, basis, W, bias)
+        dt = time.perf_counter() - t0
+        if prev is not None:
+            if not np.allclose(REF, prev[0], atol=1e-4) or not np.allclose(ALT, prev[1], atol=1e-4):
+                raise AssertionError(f"mesh size {n_dev} changed results")
+        prev = (REF, ALT)
+        print(json.dumps({"mesh_devices": n_dev, "variants_per_sec": round(n_variants / dt, 2)}))
+    print("results identical across mesh sizes: OK")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
