@@ -69,9 +69,11 @@ class GBLinearModel:
 
 
 def predict_gblinear(model: GBLinearModel, X) -> np.ndarray:
-    X = jnp.asarray(X, dtype=jnp.float32)
-    out = model.base_score + model.bias + X @ jnp.asarray(model.weight, dtype=jnp.float32)
-    return np.asarray(out, dtype=np.float32)
+    # host numpy: a single matvec gains nothing from the accelerator, and
+    # keeping prediction off-device lets the predict CLI run without
+    # claiming a TPU
+    X = np.asarray(X, dtype=np.float32)
+    return (model.base_score + model.bias + X @ np.asarray(model.weight, dtype=np.float32)).astype(np.float32)
 
 
 def _coord_delta(g: jax.Array, h: jax.Array, w: jax.Array, lam: float, alpha: float) -> jax.Array:
