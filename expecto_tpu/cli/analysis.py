@@ -1,7 +1,11 @@
 """CLI: interpretation & clustering analyses (reference
 interpret_features.py, interpret_features_grouped.py, svd.py,
 svd_transform.py, cluster_and_viz.py, cluster_and_viz_louvain.py,
-cluster_by_pwm.py, query_fimo_for_predictions.py)."""
+cluster_by_pwm.py, query_fimo_for_predictions.py,
+cluster_analysis_with_fimo.py, get_enriched_motif_set.py,
+plot_bootstrapped_coefficients.py, extract_lymphoblastoid_consensus_preds.py,
+resources/make_geneanno*.py, plot_susztak.py, plot_data_distributions.py,
+util/rank_based_inverse_normal_transformation.py)."""
 
 from __future__ import annotations
 
@@ -54,6 +58,71 @@ def main(argv=None) -> int:
     qp.add_argument("--chunk_i", type=int, default=None)
     qp.add_argument("-o", dest="out_dir", default="temp_query_fimo_for_predictions")
 
+    ep = sub.add_parser("fimo-enrich", help="hypergeometric motif enrichment of top-contributing RSAT clusters (cluster_analysis_with_fimo.py)")
+    ep.add_argument("--cluster_contribs_file", required=True)
+    ep.add_argument("--rsat_clusters_file", required=True)
+    ep.add_argument("--fimo_out_file", required=True)
+    ep.add_argument("--rank_int", action="store_true", help="rank-INT the SED scores per gene before percentile stratification")
+    ep.add_argument("--upstream_bp", type=int, default=30)
+    ep.add_argument("--pval_match_threshold", type=float, default=1e-4)
+    ep.add_argument("--n_neg_clusters", type=int, default=20)
+    ep.add_argument("--no_plots", action="store_true")
+    ep.add_argument("-o", dest="out_dir", default="temp_cluster_analysis_with_fimo")
+
+    mp = sub.add_parser("enriched-motifs", help="write the MEME subset of motifs passing a q-value threshold (get_enriched_motif_set.py)")
+    mp.add_argument("--hypergeom_enrichment_tsv", required=True)
+    mp.add_argument("--motif_db_file", required=True)
+    mp.add_argument("--qval_thresh", type=float, default=0.01)
+    mp.add_argument("-o", dest="out_dir", default="temp_enriched_motif_set")
+
+    bp = sub.add_parser("bootstrap-coefficients", help="bootstrap weight SEs, z-scores, CV ranking (plot_bootstrapped_coefficients.py)")
+    bp.add_argument("--bootstrap_model_dir", required=True)
+    bp.add_argument("--main_model", required=True)
+    bp.add_argument("--input_features_file", required=True, help="all_feature_clusters.tsv from interpret-features")
+    bp.add_argument("--pattern", default="*/*.save")
+    bp.add_argument("--limit", type=int, default=800)
+    bp.add_argument("--top_k_cv_hists", type=int, default=10)
+    bp.add_argument("--no_plots", action="store_true")
+    bp.add_argument("-o", dest="out_dir", default="bootstrap_coefficients")
+
+    xp = sub.add_parser("extract-consensus", help="extract tracks at SNP/TSS/flank bins from consensus chromatin h5s (extract_lymphoblastoid_consensus_preds.py)")
+    xp.add_argument("--chromatin_h5", required=True)
+    xp.add_argument("--snp_pos", type=int, required=True)
+    xp.add_argument("--tss_pos", type=int, required=True)
+    xp.add_argument("--strand", choices=["+", "-"], required=True)
+    xp.add_argument("--tracks", required=True, help="comma-separated track indices, or a cell-type substring matched against belugaFeatures")
+    xp.add_argument("--belugaFeatures", default=None)
+    xp.add_argument("--model", choices=["expecto", "basenji"], default="expecto")
+    xp.add_argument("--flank", type=int, default=50)
+    xp.add_argument("-o", dest="out_h5", required=True)
+
+    gp = sub.add_parser("make-profile", help="join a counts matrix onto the geneanno row order (resources/make_geneanno*.py)")
+    gp.add_argument("--annoFile", required=True)
+    gp.add_argument("--countsFile", required=True, help="CSV/TSV with gene ids or symbols as index")
+    gp.add_argument("--on", choices=["index", "symbol"], default="index")
+    gp.add_argument("--columns", default=None, help="comma-separated output column subset/order")
+    gp.add_argument("--log2_offset", type=float, default=None, help="undo log2(RPM+offset) back to linear RPM first")
+    gp.add_argument("--rank_match_col", default=None, help="rank-match every column to this column of the joined table")
+    gp.add_argument("-o", dest="out_csv", required=True)
+
+    rp = sub.add_parser("rank-int", help="rank-based inverse normal transform of a table column (util/rank_based_inverse_normal_transformation.py)")
+    rp.add_argument("table", help="TSV input")
+    rp.add_argument("--column", required=True)
+    rp.add_argument("--group_by", default=None, help="apply per group (e.g. gene)")
+    rp.add_argument("--blom_c", type=float, default=3.0 / 8)
+    rp.add_argument("--deterministic", action="store_true", help="average ties instead of stochastic tie-breaking")
+    rp.add_argument("-o", dest="out_tsv", required=True)
+
+    pp = sub.add_parser("plot-metrics", help="metric scatter+histograms from a training metrics.h5 (plot_susztak.py)")
+    pp.add_argument("metrics_h5")
+    pp.add_argument("-o", dest="out_dir", default="metric_plots")
+
+    dp = sub.add_parser("plot-distributions", help="expression histograms per profile column (plot_data_distributions.py)")
+    dp.add_argument("--expFile", required=True)
+    dp.add_argument("--columns", default=None, help="comma-separated subset (default: all numeric)")
+    dp.add_argument("--pseudocount", type=float, default=1e-4)
+    dp.add_argument("-o", dest="out_dir", default="distribution_plots")
+
     args = p.parse_args(argv)
 
     import numpy as np
@@ -61,7 +130,8 @@ def main(argv=None) -> int:
 
     from ..io.tables import load_beluga_features
 
-    os.makedirs(args.out_dir, exist_ok=True)
+    if getattr(args, "out_dir", None):
+        os.makedirs(args.out_dir, exist_ok=True)
 
     if args.cmd == "interpret-features":
         from ..analysis.cluster import (
@@ -169,6 +239,225 @@ def main(argv=None) -> int:
         filtered = filter_fimo_results(out_txt, bp_pad=args.bp_pad)
         filtered.to_csv(f"{args.out_dir}/fimo_filtered.tsv", sep="\t", header=True)
         print(f"wrote {args.out_dir}/fimo_filtered.tsv")
+
+    elif args.cmd == "fimo-enrich":
+        from ..analysis.fimo import FIMO_COLUMNS, cluster_contribs_hypergeom, shuffle_along_axis
+        from ..analysis.rank_int import rank_INT
+
+        np.random.seed(1)
+        rsat_clusters_df = pd.read_csv(args.rsat_clusters_file, sep="\t", header=None, index_col=0)
+        contribs = pd.read_csv(args.cluster_contribs_file, sep="\t", index_col=0)
+        if "cluster_-1" in contribs.columns:
+            contribs = contribs.drop("cluster_-1", axis=1)
+        contribs = contribs.reset_index(drop=True)
+        sed_column = "SED_PROPORTION"
+        if args.rank_int:
+            contribs.insert(
+                loc=contribs.columns.tolist().index("SED") + 1,
+                column="SED_RINT",
+                value=contribs.groupby("gene")["SED"].transform(lambda x: rank_INT(x, stochastic=True)),
+            )
+            contribs = contribs.drop("SED", axis=1)
+            sed_column = "SED_RINT"
+
+        fimo_df = pd.read_table(args.fimo_out_file, sep="\t", names=FIMO_COLUMNS, comment="#")
+        fimo_df = fimo_df[(fimo_df["start"] <= (args.upstream_bp + 1)) & (fimo_df["stop"] >= (args.upstream_bp + 1))]
+        fimo_df = fimo_df.sort_values(by="p-value").drop_duplicates(
+            subset=["motif_id", "motif_alt_id", "sequence_name"], keep="first"
+        )
+        fimo_df = fimo_df[fimo_df["p-value"] < args.pval_match_threshold]
+
+        id_col = contribs.columns.tolist().index("2") if "2" in contribs.columns else 2
+        start_col = 15
+        hyper_df, uniq = cluster_contribs_hypergeom(
+            contribs, fimo_df, rsat_clusters_df, args.n_neg_clusters,
+            id_col=id_col, contrib_start_col=start_col, return_unique_clusters=True,
+        )
+        hyper_df.to_csv(f"{args.out_dir}/hypergeom.tsv", sep="\t", index=False)
+        pd.DataFrame.from_dict(
+            {k: len(v) for k, v in uniq.items()}, orient="index", columns=["n_unique_clusters"]
+        ).to_csv(f"{args.out_dir}/num_unique_clusters.tsv", sep="\t")
+
+        # null 1: cluster contributions shuffled within each variant row
+        shuf_c = contribs.copy()
+        shuf_c.iloc[:, start_col:] = shuffle_along_axis(shuf_c.iloc[:, start_col:].values, axis=1)
+        cluster_contribs_hypergeom(
+            shuf_c, fimo_df, rsat_clusters_df, args.n_neg_clusters,
+            id_col=id_col, contrib_start_col=start_col,
+        ).to_csv(f"{args.out_dir}/hypergeom_shuffled_clusters.tsv", sep="\t", index=False)
+
+        # null 2: variant ids permuted across rows
+        shuf_v = contribs.copy()
+        perm = np.random.choice(contribs.shape[0], contribs.shape[0], replace=False)
+        id_name = contribs.columns[id_col]
+        shuf_v[id_name] = shuf_v[id_name].iloc[perm].reset_index(drop=True)
+        cluster_contribs_hypergeom(
+            shuf_v, fimo_df, rsat_clusters_df, args.n_neg_clusters,
+            id_col=id_col, contrib_start_col=start_col,
+        ).to_csv(f"{args.out_dir}/hypergeom_shuffled_variants.tsv", sep="\t", index=False)
+
+        # SED-percentile stratification
+        percentile_dfs = {}
+        if sed_column in contribs.columns:
+            for lo_p in range(0, 100, 25):
+                lo, hi = (np.percentile(contribs[sed_column], p) for p in (lo_p, lo_p + 25))
+                sel = contribs[(lo <= contribs[sed_column]) & (contribs[sed_column] <= hi)]
+                pdf = cluster_contribs_hypergeom(
+                    sel, fimo_df, rsat_clusters_df, args.n_neg_clusters,
+                    id_col=id_col, contrib_start_col=start_col,
+                )
+                pdf.to_csv(f"{args.out_dir}/hypergeom_percentile_{lo_p}_{lo_p + 25}.tsv", sep="\t", index=False)
+                percentile_dfs[(lo_p, lo_p + 25)] = pdf
+
+        if not args.no_plots:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            plt.figure()
+            plt.plot(hyper_df["top_cluster_idx"], -np.log10(hyper_df["hypergeom_pval"]), label="top")
+            for name, path in (("shuffled clusters", "hypergeom_shuffled_clusters.tsv"),
+                               ("shuffled variants", "hypergeom_shuffled_variants.tsv")):
+                d = pd.read_csv(f"{args.out_dir}/{path}", sep="\t")
+                plt.plot(d["top_cluster_idx"], -np.log10(d["hypergeom_pval"]), label=name)
+            plt.xlabel("Top cluster index")
+            plt.ylabel(r"-$\log_{10}$ pval")
+            plt.legend()
+            plt.savefig(f"{args.out_dir}/hypergeom_test_vs_cluster.pdf", dpi=300)
+            plt.close()
+            if percentile_dfs:
+                plt.figure()
+                for rng_k, pdf in percentile_dfs.items():
+                    plt.plot(pdf["top_cluster_idx"], -np.log10(pdf["hypergeom_pval"]), ls="--", label=f"percentile: {rng_k}")
+                plt.xlabel("Top cluster index")
+                plt.ylabel(r"-$\log_{10}$ pval")
+                plt.legend()
+                plt.savefig(f"{args.out_dir}/hypergeom_test_vs_cluster_by_quantile.pdf", dpi=300)
+                plt.close()
+        print(f"wrote {args.out_dir}/hypergeom.tsv")
+
+    elif args.cmd == "enriched-motifs":
+        from ..analysis.fimo import extract_enriched_motif_set
+
+        found = extract_enriched_motif_set(
+            args.hypergeom_enrichment_tsv, args.motif_db_file,
+            f"{args.out_dir}/enriched_motifs.meme", qval_thresh=args.qval_thresh,
+        )
+        print(f"wrote {args.out_dir}/enriched_motifs.meme ({len(found)} motifs)")
+
+    elif args.cmd == "bootstrap-coefficients":
+        from ..analysis.bootstrap import (
+            bootstrap_coefficient_stats,
+            features_sorted_by_zscore,
+            load_bootstrap_models,
+        )
+        from ..io.xgb import load_expression_model
+
+        models = load_bootstrap_models(args.bootstrap_model_dir, pattern=args.pattern, limit=args.limit)
+        if not models:
+            print("no bootstrap models found", file=sys.stderr)
+            return 2
+        main_model = load_expression_model(args.main_model)
+        stats = bootstrap_coefficient_stats(models, main_model)
+        feats = pd.read_csv(args.input_features_file, sep="\t", index_col=0)
+        features_sorted_by_zscore(feats, stats).to_csv(
+            f"{args.out_dir}/input_features_sorted_by_zscore.csv", sep="\t"
+        )
+        np.save(f"{args.out_dir}/se_weight.npy", stats.se_weight)
+        if not args.no_plots:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            top = np.argsort(stats.coeff_of_var)[-args.top_k_cv_hists:][::-1]
+            for rank, i in enumerate(top):
+                plt.figure()
+                plt.hist(stats.all_weights[:, i])
+                plt.title(f"feature {i} (CV rank {rank})")
+                plt.savefig(f"{args.out_dir}/cv_top{rank}_feature{i}.pdf", dpi=150)
+                plt.close()
+        print(f"wrote {args.out_dir}/input_features_sorted_by_zscore.csv ({len(models)} bootstrap models)")
+
+    elif args.cmd == "extract-consensus":
+        from ..analysis.extract import extract_consensus_track_bins
+
+        try:
+            track_indices = [int(t) for t in args.tracks.split(",")]
+        except ValueError:
+            if not args.belugaFeatures:
+                print("--belugaFeatures required for name-based track selection", file=sys.stderr)
+                return 2
+            features_df = load_beluga_features(args.belugaFeatures)
+            hit = features_df["Cell type"].str.contains(args.tracks, case=False, na=False)
+            track_indices = list(np.flatnonzero(hit.values))
+            if not track_indices:
+                print(f"no tracks match {args.tracks!r}", file=sys.stderr)
+                return 2
+        out = extract_consensus_track_bins(
+            args.chromatin_h5, args.snp_pos, args.tss_pos, args.strand,
+            track_indices, out_h5_path=args.out_h5, flank=args.flank, model=args.model,
+        )
+        print(f"wrote {args.out_h5} (snp_bin={out['snp_bin']} tss_bin={out['tss_bin']} tracks={len(track_indices)})")
+
+    elif args.cmd == "make-profile":
+        from ..pipeline.profiles import join_counts_to_geneanno, rank_match_to_profile
+
+        geneanno = pd.read_csv(args.annoFile, index_col=0)
+        sep = "\t" if args.countsFile.endswith((".tsv", ".txt")) else ","
+        counts = pd.read_csv(args.countsFile, sep=sep, index_col=0)
+        cols = args.columns.split(",") if args.columns else None
+        out = join_counts_to_geneanno(
+            geneanno, counts, cols, on=args.on, log2_offset=args.log2_offset
+        )
+        if args.rank_match_col:
+            out = rank_match_to_profile(out, out[args.rank_match_col])
+        out.to_csv(args.out_csv)
+        print(f"wrote {args.out_csv} ({out.shape[0]} genes x {out.shape[1]} profiles)")
+
+    elif args.cmd == "rank-int":
+        from ..analysis.rank_int import rank_INT
+
+        df = pd.read_csv(args.table, sep="\t")
+        for col in filter(None, (args.column, args.group_by)):
+            if col not in df.columns:
+                print(f"column {col!r} not in {args.table} (has: {', '.join(df.columns)})", file=sys.stderr)
+                return 2
+        kwargs = dict(c=args.blom_c, stochastic=not args.deterministic)
+        if args.group_by:
+            df[args.column + "_RINT"] = df.groupby(args.group_by)[args.column].transform(
+                lambda x: rank_INT(x, **kwargs)
+            )
+        else:
+            df[args.column + "_RINT"] = rank_INT(df[args.column], **kwargs)
+        df.to_csv(args.out_tsv, sep="\t", index=False)
+        print(f"wrote {args.out_tsv}")
+
+    elif args.cmd == "plot-metrics":
+        import h5py
+
+        from ..utils.plotting import plot_metric_hist
+
+        with h5py.File(args.metrics_h5, "r") as f:
+            names = list(f.keys())
+            for name in names:
+                vals = np.asarray(f[name])
+                plot_metric_hist(vals, f"{args.out_dir}/{name}_hist.png", xlabel=name, title=name)
+        print(f"wrote {len(names)} histograms to {args.out_dir}")
+
+    elif args.cmd == "plot-distributions":
+        from ..utils.plotting import plot_expression_distributions
+
+        exp_df = pd.read_csv(args.expFile)
+        if args.columns:
+            exp_df = exp_df[args.columns.split(",")]
+        else:
+            exp_df = exp_df.select_dtypes("number")
+        plot_expression_distributions(
+            exp_df, f"{args.out_dir}/expression_distributions.png", pseudocount=args.pseudocount
+        )
+        print(f"wrote {args.out_dir}/expression_distributions.png")
 
     return 0
 

@@ -1,0 +1,280 @@
+"""End-to-end tests for the analysis CLI subcommands added for reference
+parity: cluster_analysis_with_fimo.py, get_enriched_motif_set.py,
+plot_bootstrapped_coefficients.py, extract_lymphoblastoid_consensus_preds.py,
+resources/make_geneanno*.py, util/rank_based_inverse_normal_transformation.py,
+plot_susztak.py, plot_data_distributions.py."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from expecto_tpu.cli.analysis import main as analysis_main
+
+
+def _write_contribs(path, n_variants=8, clusters=("c1", "c2", "c3"), seed=0):
+    """Synthetic predict_by_cluster_rsat-style output: 15 leading columns
+    (id col named '2', plus gene/SED/SED_PROPORTION) then per-cluster
+    contributions named to match the RSAT cluster table index."""
+    rng = np.random.default_rng(seed)
+    lead_cols = [str(i) for i in range(10)] + ["gene", "SED", "SED_PROPORTION", "13", "14"]
+    rows = []
+    for v in range(n_variants):
+        lead = [0] * 10 + [f"g{v % 2}", float(rng.normal()), float(abs(rng.normal()))] + [0, 0]
+        lead[2] = f"rs{v}"
+        rows.append(lead + list(rng.normal(size=len(clusters))))
+    df = pd.DataFrame(rows, columns=lead_cols + list(clusters))
+    df.to_csv(path, sep="\t")
+    return df
+
+
+def _write_fimo_raw(path, n_variants=8):
+    rows = []
+    for v in range(n_variants):
+        # matches covering the variant base (start <= 31 <= stop)
+        rows.append(["M1", "m1", f"rs{v}", 28, 34, "+", 10.0, 1e-6, 0.1, "AAAA"])
+        if v % 2 == 0:
+            rows.append(["M4", "m4", f"rs{v}", 25, 35, "+", 8.0, 1e-5, 0.2, "CCCC"])
+        # non-covering noise row
+        rows.append(["M3", "m3", f"rs{v}", 1, 9, "+", 2.0, 1e-2, 0.9, "GGGG"])
+    path.write_text("\n".join("\t".join(map(str, r)) for r in rows) + "\n")
+
+
+class TestFimoEnrich:
+    def test_end_to_end(self, tmp_path):
+        contribs_f = tmp_path / "contribs.tsv"
+        _write_contribs(contribs_f)
+        rsat_f = tmp_path / "rsat.tsv"
+        rsat_f.write_text("c1\tm1,m2\nc2\tm3\nc3\tm4\n")
+        fimo_f = tmp_path / "fimo_out.txt"
+        _write_fimo_raw(fimo_f)
+
+        rc = analysis_main([
+            "fimo-enrich",
+            "--cluster_contribs_file", str(contribs_f),
+            "--rsat_clusters_file", str(rsat_f),
+            "--fimo_out_file", str(fimo_f),
+            "--n_neg_clusters", "1",
+            "--no_plots",
+            "-o", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        hyper = pd.read_csv(tmp_path / "out" / "hypergeom.tsv", sep="\t")
+        # 3 clusters - 1 negative = 2 rank cutoffs
+        assert list(hyper["top_cluster_idx"]) == [0, 1]
+        assert ((hyper["hypergeom_pval"] >= 0) & (hyper["hypergeom_pval"] <= 1)).all()
+        for null in ("hypergeom_shuffled_clusters.tsv", "hypergeom_shuffled_variants.tsv"):
+            assert (tmp_path / "out" / null).exists()
+        # 4 SED-proportion quartile strata
+        strata = sorted((tmp_path / "out").glob("hypergeom_percentile_*.tsv"))
+        assert len(strata) == 4
+        assert (tmp_path / "out" / "num_unique_clusters.tsv").exists()
+
+    def test_rank_int_column(self, tmp_path):
+        contribs_f = tmp_path / "contribs.tsv"
+        _write_contribs(contribs_f, n_variants=12)
+        rsat_f = tmp_path / "rsat.tsv"
+        rsat_f.write_text("c1\tm1,m2\nc2\tm3\nc3\tm4\n")
+        fimo_f = tmp_path / "fimo_out.txt"
+        _write_fimo_raw(fimo_f, n_variants=12)
+
+        rc = analysis_main([
+            "fimo-enrich",
+            "--cluster_contribs_file", str(contribs_f),
+            "--rsat_clusters_file", str(rsat_f),
+            "--fimo_out_file", str(fimo_f),
+            "--n_neg_clusters", "1",
+            "--rank_int", "--no_plots",
+            "-o", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "out" / "hypergeom.tsv").exists()
+
+
+class TestEnrichedMotifs:
+    def test_meme_subset(self, tmp_path):
+        (tmp_path / "h.tsv").write_text("motif\thypergeom_qval\nM1\t0.001\nM2\t0.5\n")
+        meme = (
+            "MEME version 4\n\nALPHABET= ACGT\n\n"
+            "MOTIF M1 TF1\nletter-probability matrix\n0.25 0.25 0.25 0.25\n\n"
+            "MOTIF M2 TF2\nletter-probability matrix\n0.1 0.4 0.4 0.1\n"
+        )
+        (tmp_path / "db.meme").write_text(meme)
+        rc = analysis_main([
+            "enriched-motifs",
+            "--hypergeom_enrichment_tsv", str(tmp_path / "h.tsv"),
+            "--motif_db_file", str(tmp_path / "db.meme"),
+            "-o", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        text = (tmp_path / "out" / "enriched_motifs.meme").read_text()
+        assert "MOTIF M1" in text and "MOTIF M2" not in text
+
+
+class TestBootstrapCoefficients:
+    def test_zscore_table_and_se(self, tmp_path):
+        from expecto_tpu.io.xgb import save_expression_model
+        from expecto_tpu.models.gblinear import GBLinearModel
+
+        rng = np.random.default_rng(1)
+        n_feat = 6
+        true_w = rng.normal(size=n_feat).astype(np.float32)
+        for seed in range(5):
+            d = tmp_path / "boot" / f"seed_{seed}"
+            d.mkdir(parents=True)
+            w = true_w + rng.normal(scale=0.1, size=n_feat).astype(np.float32)
+            save_expression_model(GBLinearModel(weight=w, bias=0.05 * seed), d / "model.save")
+        save_expression_model(GBLinearModel(weight=true_w, bias=0.1), tmp_path / "main.save")
+        feats = pd.DataFrame({"name": [f"f{i}" for i in range(n_feat)]})
+        feats.to_csv(tmp_path / "feats.tsv", sep="\t")
+
+        rc = analysis_main([
+            "bootstrap-coefficients",
+            "--bootstrap_model_dir", str(tmp_path / "boot"),
+            "--main_model", str(tmp_path / "main.save"),
+            "--input_features_file", str(tmp_path / "feats.tsv"),
+            "--no_plots",
+            "-o", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        table = pd.read_csv(tmp_path / "out" / "input_features_sorted_by_zscore.csv", sep="\t", index_col=0)
+        assert table.shape[0] == n_feat
+        absz = np.abs(table["z_score"].values)
+        assert (absz[:-1] >= absz[1:]).all(), "rows must be sorted by |z|"
+        se = np.load(tmp_path / "out" / "se_weight.npy")
+        assert se.shape == (n_feat,) and (se > 0).all()
+
+
+class TestExtractConsensusCLI:
+    def _chromatin_h5(self, tmp_path):
+        import h5py
+
+        preds = np.random.default_rng(3).normal(size=(3, 200, 10)).astype(np.float32)
+        p = tmp_path / "g_chromatin.h5"
+        with h5py.File(p, "w") as f:
+            f.create_dataset("chromatin_preds", data=preds)
+            f.create_dataset("record_ids", data=np.array([b"a", b"b", b"c"]))
+        return p, preds
+
+    def test_index_tracks(self, tmp_path):
+        import h5py
+
+        p, preds = self._chromatin_h5(tmp_path)
+        rc = analysis_main([
+            "extract-consensus",
+            "--chromatin_h5", str(p),
+            "--snp_pos", "99700", "--tss_pos", "100000", "--strand", "+",
+            "--tracks", "0,3",
+            "-o", str(tmp_path / "out.h5"),
+        ])
+        assert rc == 0
+        from expecto_tpu.analysis.extract import get_snp_bin
+
+        sbin = get_snp_bin(99700, 100000, "+")
+        with h5py.File(tmp_path / "out.h5") as f:
+            np.testing.assert_array_equal(f["snp_bin_preds"], preds[:, sbin][:, [0, 3]])
+
+    def test_name_tracks(self, tmp_path):
+        p, _ = self._chromatin_h5(tmp_path)
+        bf = tmp_path / "beluga.tsv"
+        rows = ["\t".join(["i", "Cell type", "Assay", "Treatment", "Assay type", "Source"])]
+        for i in range(10):
+            ct = "GM12878" if i in (2, 5) else "K562"
+            rows.append("\t".join([str(i), ct, f"TF{i}", "None", "TF", "ENCODE"]))
+        bf.write_text("\n".join(rows) + "\n")
+        rc = analysis_main([
+            "extract-consensus",
+            "--chromatin_h5", str(p),
+            "--snp_pos", "99700", "--tss_pos", "100000", "--strand", "+",
+            "--tracks", "GM12878", "--belugaFeatures", str(bf),
+            "-o", str(tmp_path / "out.h5"),
+        ])
+        assert rc == 0
+        import h5py
+
+        with h5py.File(tmp_path / "out.h5") as f:
+            assert f["snp_bin_preds"].shape == (3, 2)
+
+
+class TestMakeProfileCLI:
+    def test_join_and_rank_match(self, tmp_path):
+        anno = pd.DataFrame(
+            {"id": ["g1", "g2", "g3"], "symbol": ["A", "B", "C"]}
+        ).set_index("id")
+        anno.to_csv(tmp_path / "anno.csv")
+        counts = pd.DataFrame(
+            {"t1": [1.0, 4.0, 2.0], "t2": [8.0, 2.0, 1.0]}, index=["g1", "g2", "g3"]
+        )
+        counts.to_csv(tmp_path / "counts.csv")
+        rc = analysis_main([
+            "make-profile",
+            "--annoFile", str(tmp_path / "anno.csv"),
+            "--countsFile", str(tmp_path / "counts.csv"),
+            "--rank_match_col", "t1",
+            "-o", str(tmp_path / "exp.csv"),
+        ])
+        assert rc == 0
+        out = pd.read_csv(tmp_path / "exp.csv", index_col=0)
+        assert list(out.columns) == ["t1", "t2"]
+        # t2 values replaced by t1's values at matching ranks
+        assert sorted(out["t2"]) == sorted(out["t1"])
+
+    def test_log2_undo(self, tmp_path):
+        anno = pd.DataFrame({"id": ["g1"], "symbol": ["A"]}).set_index("id")
+        anno.to_csv(tmp_path / "anno.csv")
+        pd.DataFrame({"t1": [3.0]}, index=["g1"]).to_csv(tmp_path / "counts.csv")
+        rc = analysis_main([
+            "make-profile",
+            "--annoFile", str(tmp_path / "anno.csv"),
+            "--countsFile", str(tmp_path / "counts.csv"),
+            "--log2_offset", "1",
+            "-o", str(tmp_path / "exp.csv"),
+        ])
+        assert rc == 0
+        out = pd.read_csv(tmp_path / "exp.csv", index_col=0)
+        assert out["t1"].iloc[0] == pytest.approx(2**3 - 1)
+
+
+class TestRankIntCLI:
+    def test_grouped(self, tmp_path):
+        df = pd.DataFrame({
+            "gene": ["a"] * 10 + ["b"] * 10,
+            "SED": np.random.default_rng(0).normal(size=20),
+        })
+        df.to_csv(tmp_path / "t.tsv", sep="\t", index=False)
+        rc = analysis_main([
+            "rank-int", str(tmp_path / "t.tsv"),
+            "--column", "SED", "--group_by", "gene", "--deterministic",
+            "-o", str(tmp_path / "out.tsv"),
+        ])
+        assert rc == 0
+        out = pd.read_csv(tmp_path / "out.tsv", sep="\t")
+        assert "SED_RINT" in out.columns
+        # per-group transform is mean ~0
+        for g in ("a", "b"):
+            assert abs(out[out["gene"] == g]["SED_RINT"].mean()) < 0.2
+
+
+class TestPlotCLIs:
+    def test_plot_metrics(self, tmp_path):
+        import h5py
+
+        with h5py.File(tmp_path / "metrics.h5", "w") as f:
+            f.create_dataset("pearsonr_valid", data=np.random.default_rng(0).random(20))
+            f.create_dataset("r2_valid", data=np.random.default_rng(1).random(20))
+        rc = analysis_main(["plot-metrics", str(tmp_path / "metrics.h5"), "-o", str(tmp_path / "plots")])
+        assert rc == 0
+        assert (tmp_path / "plots" / "pearsonr_valid_hist.png").exists()
+        assert (tmp_path / "plots" / "r2_valid_hist.png").exists()
+
+    def test_plot_distributions(self, tmp_path):
+        pd.DataFrame({
+            "symbol": ["a", "b", "c"],
+            "t1": [0.1, 2.0, 30.0],
+            "t2": [1.0, 0.0, 5.0],
+        }).to_csv(tmp_path / "exp.csv", index=False)
+        rc = analysis_main([
+            "plot-distributions", "--expFile", str(tmp_path / "exp.csv"),
+            "-o", str(tmp_path / "plots"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "plots" / "expression_distributions.png").exists()
