@@ -21,6 +21,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="save raw per-gene (200, 2002) predictions instead of projected features "
                         "(replicate_expecto_features.py behavior)")
     p.add_argument("--bf16", action="store_true")
+    p.add_argument("--atac_peaks", default=None,
+                   help="ATAC peak BED: multiply predicted ChIP tracks by the binary "
+                        "peak-bin mask before projection (expecto_intersect_chip_atac.py)")
+    p.add_argument("--belugaFeatures", default=None, help="required with --atac_peaks")
+    p.add_argument("--atac_tf_only", action="store_true",
+                   help="mask only TF tracks (default: TF + Histone; expecto_intersect_chip_atac.py:46-48)")
     p.add_argument("-o", dest="out_dir", type=str, default="temp_compute_expecto_features")
     p.add_argument("--cuda", action="store_true", help="ignored; CLI parity")
     return p
@@ -75,7 +81,29 @@ def main(argv=None) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
 
-    if args.replicate_raw:
+    if args.atac_peaks:
+        import numpy as np
+
+        from ..analysis.atac import load_peaks_bed
+        from ..io.tables import load_beluga_features
+        from ..pipeline.features import compute_gene_features_atac
+
+        if not args.belugaFeatures:
+            print("--atac_peaks requires --belugaFeatures", file=sys.stderr)
+            return 2
+        features_df = load_beluga_features(args.belugaFeatures)
+        if args.atac_tf_only:
+            chip_idx = np.where(features_df["Assay type"] == "TF")[0]
+        else:
+            chip_idx = np.where(features_df["Assay type"].isin(["TF", "Histone"]))[0]
+        peaks_by_chrom = load_peaks_bed(args.atac_peaks)
+        compute_gene_features_atac(
+            genes, genome, runner, peaks_by_chrom, chip_idx,
+            windowsize=args.windowsize,
+            out_path=os.path.join(args.out_dir, "Xreducedall.2002.atac_x_chip"),
+            progress=True,
+        )
+    elif args.replicate_raw:
         replicate_gene_features(genes, genome, runner, windowsize=args.windowsize, out_dir=args.out_dir)
     else:
         compute_gene_features(

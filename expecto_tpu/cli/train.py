@@ -9,7 +9,7 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Train an ExPecto expression model")
-    p.add_argument("--targetIndex", type=int, required=True)
+    p.add_argument("--targetIndex", type=int, default=None, help="required unless --allTissues")
     p.add_argument("--expFile", type=str, required=True)
     p.add_argument("--belugaFeatures", type=str, default=None)
     p.add_argument("--inputFile", type=str, default="./resources/Xreducedall.2002.npy")
@@ -29,6 +29,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--intersect_with_lambert", action="store_true")
     p.add_argument("--no_pol2", action="store_true")
     p.add_argument("--seed", type=int, default=None, help="bootstrap resample seed (train_bootstrap.py)")
+    p.add_argument("--bootstrap_seeds", type=int, default=None,
+                   help="train N bootstrap resamples in one vectorized sweep "
+                        "(replaces scripts/train_bootstrap.sh's N separate jobs)")
+    p.add_argument("--allTissues", action="store_true",
+                   help="train every expression column and write metrics.h5 (train_susztak.py)")
+    p.add_argument("--vectorized", action="store_true",
+                   help="with --allTissues: train all columns in one on-device sweep")
     p.add_argument("--output_dir", type=str, default="temp_expecto_model")
     return p
 
@@ -41,16 +48,23 @@ def main(argv=None) -> int:
 
     from ..io.tables import load_beluga_features
     from ..models.gblinear import GBLinearParams
-    from ..pipeline.train import train_expression_model
+    from ..pipeline.train import train_all_tissues, train_bootstrap, train_expression_model
     from ..utils.keep_mask import get_keep_mask
 
     args = build_parser().parse_args(argv)
+    if args.targetIndex is None and not args.allTissues:
+        print("--targetIndex is required unless --allTissues is set", file=sys.stderr)
+        return 2
+    if args.allTissues and args.bootstrap_seeds:
+        print("--allTissues and --bootstrap_seeds are mutually exclusive", file=sys.stderr)
+        return 2
     os.makedirs(args.output_dir, exist_ok=True)
 
     Xreducedall = np.load(args.inputFile)
     geneanno = pd.read_csv(args.annoFile)
     geneexp = pd.read_csv(args.expFile)
-    print(f"Cell type: {geneexp.columns[args.targetIndex]}")
+    if not args.allTissues:
+        print(f"Cell type: {geneexp.columns[args.targetIndex]}")
 
     keep_mask = None
     if args.belugaFeatures and any(
@@ -66,6 +80,33 @@ def main(argv=None) -> int:
         eta=args.eta, reg_lambda=args.l2, reg_alpha=args.l1,
         base_score=args.base_score, num_round=args.num_round,
     )
+
+    if args.allTissues:
+        results = train_all_tissues(
+            Xreducedall, geneanno, geneexp,
+            output_dir=args.output_dir,
+            metrics_path=os.path.join(args.output_dir, "metrics.h5"),
+            vectorized=args.vectorized,
+            params=hp, filter_str=args.filterStr, pseudocount=args.pseudocount,
+            **({} if args.vectorized else {"keep_mask": keep_mask}),
+        )
+        for name, res in results.items():
+            print(f"{name}: spearman (chr8 holdout) {res.spearman:.4f}")
+        print(f"wrote {len(results)} tissue models + metrics.h5 to {args.output_dir}")
+        return 0
+
+    if args.bootstrap_seeds:
+        results = train_bootstrap(
+            Xreducedall, geneanno, geneexp.iloc[:, args.targetIndex].values,
+            seeds=list(range(args.bootstrap_seeds)),
+            output_dir=args.output_dir,
+            params=hp, filter_str=args.filterStr, pseudocount=args.pseudocount,
+            keep_mask=keep_mask,
+        )
+        rhos = np.array([r.spearman for r in results])
+        print(f"trained {len(results)} bootstrap models; spearman mean {np.nanmean(rhos):.4f} sd {np.nanstd(rhos):.4f}")
+        return 0
+
     seed_tag = f".seed{args.seed}" if args.seed is not None else ""
     prefix = os.path.join(
         args.output_dir,

@@ -189,6 +189,7 @@ def train_bootstrap(
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
             save_expression_model(model, os.path.join(output_dir, f"bootstrap_seed{seed}.save"))
+            save_expression_model(model, os.path.join(output_dir, f"bootstrap_seed{seed}.dump"))
         results.append(TrainResult(model=model, spearman=rho, test_pred=pred, test_true=y_te))
     return results
 
@@ -239,6 +240,7 @@ def train_all_tissues(
             if output_dir is not None:
                 os.makedirs(output_dir, exist_ok=True)
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.save"))
+                save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.dump"))
             results[name] = TrainResult(model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32))
         iter_results = results.items()
         for name, res in iter_results:

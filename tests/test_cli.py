@@ -340,3 +340,127 @@ def test_score_cli_end_to_end(tmp_path, weights_npz, genome_path):
     assert out.shape[0] == 2
     assert {"T1", "REF_T1", "ALT_T1"} <= set(out.columns)
     np.testing.assert_allclose(out["T1"], out["ALT_T1"] - out["REF_T1"], atol=1e-5)
+
+
+def test_train_cli_bootstrap_sweep(tmp_path):
+    from expecto_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(4)
+    n = 120
+    np.save(tmp_path / "X.npy", rng.normal(size=(n, 8)).astype(np.float32))
+    geneanno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "symbol": ["s"] * n,
+        "seqnames": rng.choice(["chr1", "chr8"], size=n),
+        "strand": ["+"] * n,
+        "TSS": np.arange(n),
+        "CAGE_representative_TSS": np.arange(n),
+        "type": ["protein_coding"] * n,
+    })
+    geneanno.to_csv(tmp_path / "anno.csv", index=False)
+    pd.DataFrame({"gene": geneanno["id"], "tissueX": np.exp(rng.normal(size=n))}).to_csv(
+        tmp_path / "exp.csv", index=False
+    )
+
+    rc = train_main([
+        "--targetIndex", "1", "--expFile", str(tmp_path / "exp.csv"),
+        "--inputFile", str(tmp_path / "X.npy"), "--annoFile", str(tmp_path / "anno.csv"),
+        "--num_round", "5", "--bootstrap_seeds", "4",
+        "--output_dir", str(tmp_path / "boot"),
+    ])
+    assert rc == 0
+    saves = sorted((tmp_path / "boot").glob("bootstrap_seed*.save"))
+    assert len(saves) == 4
+    # resampled models must differ from one another
+    from expecto_tpu.io.xgb import load_expression_model
+
+    w0 = load_expression_model(saves[0]).weight
+    w1 = load_expression_model(saves[1]).weight
+    assert not np.allclose(w0, w1)
+
+
+def test_train_cli_all_tissues(tmp_path):
+    import h5py
+
+    from expecto_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(5)
+    n = 120
+    np.save(tmp_path / "X.npy", rng.normal(size=(n, 8)).astype(np.float32))
+    geneanno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "symbol": ["s"] * n,
+        "seqnames": rng.choice(["chr1", "chr8"], size=n),
+        "strand": ["+"] * n,
+        "TSS": np.arange(n),
+        "CAGE_representative_TSS": np.arange(n),
+        "type": ["protein_coding"] * n,
+    })
+    geneanno.to_csv(tmp_path / "anno.csv", index=False)
+    pd.DataFrame({
+        "gene": geneanno["id"],
+        "tA": np.exp(rng.normal(size=n)),
+        "tB": np.exp(rng.normal(size=n)),
+    }).to_csv(tmp_path / "exp.csv", index=False)
+
+    rc = train_main([
+        "--expFile", str(tmp_path / "exp.csv"),
+        "--inputFile", str(tmp_path / "X.npy"), "--annoFile", str(tmp_path / "anno.csv"),
+        "--num_round", "5", "--allTissues", "--vectorized",
+        "--output_dir", str(tmp_path / "tissues"),
+    ])
+    assert rc == 0
+    assert (tmp_path / "tissues" / "expecto_tA.save").exists()
+    assert (tmp_path / "tissues" / "expecto_tB.save").exists()
+    with h5py.File(tmp_path / "tissues" / "metrics.h5") as f:
+        assert f["pearsonr_valid"].shape == (2,)
+        assert list(f["tissue"][:]) == [b"tA", b"tB"]
+
+
+def test_train_cli_missing_target(tmp_path):
+    from expecto_tpu.cli.train import main as train_main
+
+    rc = train_main(["--expFile", "nope.csv"])
+    assert rc == 2
+
+
+def test_compute_features_atac_cli(tmp_path, weights_npz, genome_path):
+    from expecto_tpu.cli.compute_features import main as cf_main
+
+    gpath, contigs = genome_path
+    geneanno = pd.DataFrame({
+        "id": ["G1"],
+        "symbol": ["s"],
+        "seqnames": ["chr1"],
+        "strand": ["+"],
+        "TSS": [25000],
+        "CAGE_representative_TSS": [25000],
+        "type": ["protein_coding"],
+    })
+    geneanno.to_csv(tmp_path / "anno.csv", index=False)
+    # beluga features table: 2002 tracks, a few TF/Histone
+    rows = ["\t".join(["i", "Cell type", "Assay", "Treatment", "Assay type", "Source"])]
+    for i in range(2002):
+        at = "TF" if i % 3 == 0 else ("Histone" if i % 3 == 1 else "DNase")
+        rows.append("\t".join([str(i), "K562", f"A{i}", "None", at, "ENCODE"]))
+    (tmp_path / "beluga.tsv").write_text("\n".join(rows) + "\n")
+    (tmp_path / "peaks.bed").write_text("chr1\t0\t50000\n")
+
+    rc = cf_main([
+        str(tmp_path / "anno.csv"), "--genome", gpath, "--beluga_weights", weights_npz,
+        "--atac_peaks", str(tmp_path / "peaks.bed"),
+        "--belugaFeatures", str(tmp_path / "beluga.tsv"),
+        "--batchsize", "128",
+        "-o", str(tmp_path / "out"),
+    ])
+    assert rc == 0
+    feats = np.load(tmp_path / "out" / "Xreducedall.2002.atac_x_chip.npy")
+    assert feats.shape == (1, 20020)
+
+    # missing --belugaFeatures is a clean error
+    rc = cf_main([
+        str(tmp_path / "anno.csv"), "--genome", gpath, "--beluga_weights", weights_npz,
+        "--atac_peaks", str(tmp_path / "peaks.bed"),
+        "-o", str(tmp_path / "out2"),
+    ])
+    assert rc == 2
