@@ -16,7 +16,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--windowsize", type=int, default=2000)
     p.add_argument("--genome", type=str, default="./resources/hg19.fa")
     p.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz")
-    p.add_argument("--batchsize", type=int, default=1600)
+    p.add_argument("--batchsize", type=int, default=3200,
+                   help="windows-equivalent device batch (16 gene spans of 200 shifts)")
     p.add_argument("--replicate_raw", action="store_true",
                    help="save raw per-gene (200, 2002) predictions instead of projected features "
                         "(replicate_expecto_features.py behavior)")
@@ -79,6 +80,7 @@ def main(argv=None) -> int:
     runner = BelugaRunner(
         params, batch_size=args.batchsize,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        pipeline_depth=6,
     )
 
     if args.atac_peaks:

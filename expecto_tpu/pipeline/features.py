@@ -108,14 +108,17 @@ def compute_gene_features(
     *,
     windowsize: int = 2000,
     out_path: str | os.PathLike | None = None,
-    genes_per_chunk: int = 8,
+    genes_per_chunk: int | None = None,
     progress: bool = False,
 ) -> np.ndarray:
     """(n_genes, 20020) decay-projected features
     (compute_expecto_features.py:103-128).
 
     Beluga runs with on-device fwd/RC averaging; multiple genes' windows are
-    fused per device batch.
+    fused per device batch. On the span path, genes are grouped by strand
+    (the only thing the window-offset signature depends on) and streamed
+    through one pipelined runner call per group, so span transfers overlap
+    with compute instead of draining per chunk.
     """
     shifts = gene_shifts()
     pos_weights = gene_pos_weights(shifts)  # (10, 200)
@@ -124,6 +127,39 @@ def compute_gene_features(
 
     use_spans = hasattr(runner, "predict_spans_project")
     use_fused = hasattr(runner, "predict_and_project")
+
+    if use_spans:
+        if progress:
+            from tqdm import tqdm
+        # group the full gene list by offsets signature; big per-group calls
+        # keep pipeline_depth batches in flight inside the runner
+        order: dict[tuple, list[int]] = {}
+        spans_cache: list[np.ndarray | None] = [None] * len(genes)
+        for j, g in enumerate(genes):
+            span, offsets = gene_span_and_offsets(
+                genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts
+            )
+            order.setdefault(offsets, []).append(j)
+            spans_cache[j] = span
+        # per-call block: enough device batches to saturate the pipeline
+        # while bounding host memory (~42 KB/gene span)
+        rows = runner._span_rows(len(shifts)) if hasattr(runner, "_span_rows") else 8
+        block = genes_per_chunk or max(rows * getattr(runner, "pipeline_depth", 4) * 4, 64)
+        for offsets, idxs in order.items():
+            it = range(0, len(idxs), block)
+            if progress:
+                it = tqdm(list(it), desc=f"offsets group ({len(idxs)} genes)")
+            for bstart in it:
+                bidx = idxs[bstart : bstart + block]
+                rows_arr = np.stack([spans_cache[j] for j in bidx])
+                feats = runner.predict_spans_project(rows_arr, offsets, pos_weights)
+                for j, f in zip(bidx, feats):
+                    features[j] = f
+        if out_path is not None:
+            np.save(out_path, features)
+        return features
+
+    genes_per_chunk = genes_per_chunk or 8
     iterator = range(0, len(genes), genes_per_chunk)
     if progress:
         from tqdm import tqdm
@@ -131,23 +167,6 @@ def compute_gene_features(
         iterator = tqdm(list(iterator))
     for start in iterator:
         chunk = genes[start : start + genes_per_chunk]
-        if use_spans:
-            # span-amortized + fully fused: conv stack runs once per ~42 kb
-            # span (~20x fewer conv FLOPs than per-window), projection on
-            # device, only (G, 20020) features ship to host. Offsets depend
-            # only on strand -> at most two jit signatures.
-            by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
-            for j, g in enumerate(chunk):
-                span, offsets = gene_span_and_offsets(
-                    genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts
-                )
-                by_offsets.setdefault(offsets, []).append((start + j, span))
-            for offsets, items in by_offsets.items():
-                rows = np.stack([sp for _, sp in items])
-                feats = runner.predict_spans_project(rows, offsets, pos_weights)
-                for (idx, _), f in zip(items, feats):
-                    features[idx] = f
-            continue
         codes = np.concatenate(
             [gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts) for g in chunk],
             axis=0,
