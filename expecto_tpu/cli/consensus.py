@@ -29,6 +29,9 @@ def main(argv=None) -> int:
     sp.add_argument("--chunk_i", type=int, default=None)
     sp.add_argument("--genes", type=str, default=None,
                     help="comma-separated gene subset (replaces the reference's hard-coded top-eqtl gene list)")
+    sp.add_argument("--fp16_chromatin", action="store_true",
+                    help="fetch + store chromatin_preds as float16 (the format compress_consensus "
+                         "produces anyway); halves the dominant transfer/disk traffic")
 
     rp = sub.add_parser("ref", help="reference-haplotype predictions for all genes (C19)")
     common(rp)
@@ -48,11 +51,15 @@ def main(argv=None) -> int:
     from ..parallel.runner import BelugaRunner
     from ..pipeline import consensus as c
 
+    import numpy as np
+
+    fp16 = getattr(args, "fp16_chromatin", False)
     runner = BelugaRunner(
         load_params_npz(args.beluga_weights),
         batch_size=args.batch_size,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         precision=jax.lax.Precision.DEFAULT if args.bf16 else jax.lax.Precision.HIGHEST,
+        out_dtype=np.float16 if fp16 else np.float32,
     )
     if args.cmd == "samples":
         c.predict_consensus_genes(
@@ -60,6 +67,7 @@ def main(argv=None) -> int:
             overwrite=args.overwrite, exp_only=args.exp_only,
             num_chunks=args.num_chunks, chunk_i=args.chunk_i,
             genes=args.genes.split(",") if args.genes else None, progress=True,
+            chromatin_dtype=np.float16 if fp16 else np.float32,
         )
     elif args.cmd == "ref":
         c.predict_ref_all_genes(

@@ -114,24 +114,30 @@ def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize
     return codes[lo:hi].astype(np.int8), tuple(st - lo for st in starts)
 
 
-def _predict_consensus_preds(runner, seqs_and_strands, shifts):
+def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32):
     """(n_records, n_shifts, 2002) fwd/RC-averaged predictions for a list of
-    (seq, strand), using the span-amortized runner path when available."""
+    (seq, strand), using the span-amortized runner path when available.
+
+    ``dtype=np.float16`` halves the device->host fetch (the path's
+    bottleneck on bandwidth-limited links); sigmoid track probabilities fit
+    fp16, and the reference itself rewrites these h5s to fp16 in
+    compress_consensus.py:12-69."""
+    dtype = np.dtype(dtype)
     if hasattr(runner, "predict_span_codes"):
         by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
         for i, (seq, strand) in enumerate(seqs_and_strands):
             span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
             by_offsets.setdefault(offsets, []).append((i, span))
         n_shifts = len(shifts) if shifts is not None else 200
-        out = np.empty((len(seqs_and_strands), n_shifts, 2002), dtype=np.float32)
+        out = np.empty((len(seqs_and_strands), n_shifts, 2002), dtype=dtype)
         for offsets, items in by_offsets.items():
             rows = np.stack([sp for _, sp in items])
-            preds = runner.predict_span_codes(rows, offsets, rc_mode="average").astype(np.float32)
+            preds = runner.predict_span_codes(rows, offsets, rc_mode="average")
             for (idx, _), pr in zip(items, preds):
-                out[idx] = pr
+                out[idx] = pr.astype(dtype)
         return out
     all_codes = [consensus_window_codes(seq, strand, shifts=shifts) for seq, strand in seqs_and_strands]
-    flat = runner.predict_codes(np.concatenate(all_codes, axis=0), average_rc=True).astype(np.float32)
+    flat = runner.predict_codes(np.concatenate(all_codes, axis=0), average_rc=True).astype(dtype)
     return flat.reshape(len(seqs_and_strands), -1, flat.shape[-1])
 
 
@@ -165,10 +171,15 @@ def predict_consensus_genes(
     genes: list[str] | None = None,
     shifts=None,
     progress: bool = False,
+    chromatin_dtype=np.float32,
 ) -> list[str]:
     """C18: per-gene, per-individual consensus expression prediction with
     resume-skip / --exp_only / gene-chunk semantics
-    (geuvadis_predict_consensus.py:26-135)."""
+    (geuvadis_predict_consensus.py:26-135).
+
+    ``chromatin_dtype=np.float16`` fetches and stores chromatin_preds in
+    half precision — the format compress_consensus.py produces anyway —
+    halving the dominant device->host and disk traffic."""
     os.makedirs(out_dir, exist_ok=True)
     bst = load_expression_model(expecto_model_path.strip())
 
@@ -207,9 +218,9 @@ def predict_consensus_genes(
                 for rec_id, seq in parse_fasta(fasta_file):
                     seqs.append((pad_enformer_seq(rec_id, seq), strand))
                     record_ids.append(f"{rec_id}|{Path(fasta_file).stem}")
-            preds = _predict_consensus_preds(runner, seqs, shifts)
+            preds = _predict_consensus_preds(runner, seqs, shifts, dtype=chromatin_dtype)
 
-        feats = _match_features(consensus_features(preds, shifts), bst)
+        feats = _match_features(consensus_features(preds.astype(np.float32), shifts), bst)
         expecto_preds = bst.predict(feats)
 
         with h5py.File(f"{preds_dir}/{gene}_chromatin.h5", "w") as f:

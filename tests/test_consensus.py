@@ -225,3 +225,28 @@ def test_span_offsets_match_window_codes():
         span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
         for i, o in enumerate(offsets):
             np.testing.assert_array_equal(span[o : o + 2000], windows[i])
+
+
+class TestFp16Chromatin:
+    def test_fp16_store_matches_fp32_predictions(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        out32 = str(tmp_path / "out_fp32")
+        out16 = str(tmp_path / "out_fp16")
+        predict_consensus_genes(model, cdir, gfile, FakeRunner(), out32, shifts=TEST_SHIFTS)
+        predict_consensus_genes(
+            model, cdir, gfile, FakeRunner(), out16, shifts=TEST_SHIFTS,
+            chromatin_dtype=np.float16,
+        )
+        with h5py.File(f"{out16}/genea/genea_chromatin.h5") as f:
+            assert f["chromatin_preds"].dtype == np.float16
+        with h5py.File(f"{out32}/genea/genea.h5") as f32, h5py.File(f"{out16}/genea/genea.h5") as f16:
+            p32 = np.asarray(f32["expecto_preds"])
+            p16 = np.asarray(f16["expecto_preds"])
+            np.testing.assert_allclose(p16, p32, rtol=2e-3, atol=2e-3)
+
+        # exp_only restart from the fp16 cache works and upcasts cleanly
+        done = predict_consensus_genes(
+            model, cdir, gfile, FakeRunner(), out16, shifts=TEST_SHIFTS,
+            exp_only=True, overwrite=True, chromatin_dtype=np.float16,
+        )
+        assert sorted(done) == ["genea", "geneb"]
