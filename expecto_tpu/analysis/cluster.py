@@ -25,6 +25,28 @@ def hierarchical_feature_clusters(X: np.ndarray, n_clusters: int = 10, n_basis: 
     return labels.reshape(n_basis, -1).transpose(1, 0)
 
 
+def fit_feature_clustering(X: np.ndarray, *, with_distances: bool = False, cache_dir: str | None = None):
+    """Fit the hierarchical-clustering estimator over feature *columns* so it
+    can be joblib-dumped and re-cut at different n_clusters
+    (interpret_features.py:99-110: full tree cached, or distance_threshold=0
+    when dendrogram distances are wanted)."""
+    from sklearn.cluster import AgglomerativeClustering
+
+    if with_distances:
+        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None)
+    else:
+        est = AgglomerativeClustering(compute_full_tree=True, memory=cache_dir)
+    return est.fit(X.T)
+
+
+def cut_feature_clustering(est, X: np.ndarray, n_clusters: int, n_basis: int = 10) -> np.ndarray:
+    """Re-cut a fitted clustering at ``n_clusters``
+    (interpret_features.py:119-121); returns (n_marks, n_basis) labels."""
+    est.set_params(n_clusters=n_clusters, distance_threshold=None)
+    labels = est.fit(X.T).labels_
+    return labels.reshape(n_basis, -1).transpose(1, 0)
+
+
 def hierarchical_mark_clusters(X: np.ndarray, n_clusters: int = 110, n_basis: int = 10) -> np.ndarray:
     """Cluster the 2,002 *marks* by concatenating their basis feature columns
     (interpret_features_grouped.py:72,144-147): X (n_genes, n_basis*n_marks)

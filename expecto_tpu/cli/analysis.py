@@ -23,6 +23,15 @@ def main(argv=None) -> int:
     fp.add_argument("--inputFile", default="./resources/Xreducedall.2002.npy")
     fp.add_argument("--annoFile", default="./resources/geneanno.csv")
     fp.add_argument("--belugaFeatures", required=True)
+    fp.add_argument("--targetIndex", type=int, default=None,
+                    help="with --expFile: drop genes whose log expression is not finite (interpret_features.py:57-62)")
+    fp.add_argument("--expFile", default=None)
+    fp.add_argument("--filterStr", default="all", choices=["all", "pc", "lincRNA"])
+    fp.add_argument("--pseudocount", type=float, default=1e-4)
+    fp.add_argument("--clustering_joblib", default=None,
+                    help="reuse a fitted clustering instead of refitting (interpret_features.py:99-110)")
+    fp.add_argument("--clustering_with_distances", action="store_true",
+                    help="fit with distance_threshold=0 so dendrogram distances are kept")
     fp.add_argument("--n_clusters", type=int, default=10)
     fp.add_argument("--grouped", action="store_true", help="cluster the 2,002 marks instead (n_clusters default 110)")
     fp.add_argument("--out_dir", default="interpret_features")
@@ -32,13 +41,34 @@ def main(argv=None) -> int:
     sp.add_argument("--belugaFeatures", required=True)
     sp.add_argument("--n_components", type=int, default=100)
     sp.add_argument("--transform_out", default=None, help="also write the transformed embedding npy")
+    for flag in ("--no_tf_features", "--no_dnase_features", "--no_histone_features",
+                 "--intersect_with_lambert", "--no_pol2"):
+        sp.add_argument(flag, action="store_true")
+    sp.add_argument("--lambert_hgnc", default=None)
+    sp.add_argument("--hgnc_mapping", default=None)
     sp.add_argument("--out_dir", default="svd_out")
 
+    st = sub.add_parser("svd-transform", help="apply a fitted SVD to another replicate dir (svd_transform.py)")
+    st.add_argument("replicate_dir")
+    st.add_argument("svd_joblib")
+    st.add_argument("--belugaFeatures", required=True)
+    for flag in ("--no_tf_features", "--no_dnase_features", "--no_histone_features",
+                 "--intersect_with_lambert", "--no_pol2"):
+        st.add_argument(flag, action="store_true")
+    st.add_argument("--lambert_hgnc", default=None)
+    st.add_argument("--hgnc_mapping", default=None)
+    st.add_argument("-o", dest="out_dir", default="temp_svd_transform")
+
     cp = sub.add_parser("cluster-viz", help="KMeans/t-SNE or Louvain clustering of an embedding")
-    cp.add_argument("embedding_npy")
+    cp.add_argument("embedding", help="embedding npy, or an svd-transform out dir holding tf_idf_reduced_*.npy")
     cp.add_argument("--method", choices=["kmeans", "louvain"], default="kmeans")
     cp.add_argument("--k", type=int, default=30)
+    cp.add_argument("--n_pcs", type=int, default=20, help="leading SVD components to cluster on (cluster_and_viz.py:39-40)")
     cp.add_argument("--tsne", action="store_true")
+    cp.add_argument("--belugaFeatures", default=None,
+                    help="write per-mark cluster tables like cluster_and_viz.py:89-103")
+    for flag in ("--no_tf_features", "--no_dnase_features", "--no_histone_features"):
+        cp.add_argument(flag, action="store_true")
     cp.add_argument("--out_dir", default="cluster_viz")
 
     wp = sub.add_parser("collect-pwms", help="collect JASPAR+HOCOMOCO motifs for Beluga TF assays")
@@ -64,6 +94,9 @@ def main(argv=None) -> int:
     ep.add_argument("--fimo_out_file", required=True)
     ep.add_argument("--rank_int", action="store_true", help="rank-INT the SED scores per gene before percentile stratification")
     ep.add_argument("--upstream_bp", type=int, default=30)
+    ep.add_argument("--downstream_bp", type=int, default=30,
+                    help="accepted for parity; the reference parses it but its filter uses "
+                         "only upstream_bp (cluster_analysis_with_fimo.py:21,52)")
     ep.add_argument("--pval_match_threshold", type=float, default=1e-4)
     ep.add_argument("--n_neg_clusters", type=int, default=20)
     ep.add_argument("--no_plots", action="store_true")
@@ -121,6 +154,13 @@ def main(argv=None) -> int:
     dp.add_argument("--expFile", required=True)
     dp.add_argument("--columns", default=None, help="comma-separated subset (default: all numeric)")
     dp.add_argument("--pseudocount", type=float, default=1e-4)
+    dp.add_argument("--kidney_exp_file", default=None,
+                    help="also plot per-column kidney histograms + a kidney-vs-expecto scatter "
+                         "(plot_data_distributions.py:22-75)")
+    dp.add_argument("--kidney_genes_only", action="store_true",
+                    help="restrict expFile rows to genes without NaNs in the kidney profile")
+    dp.add_argument("--kidney_cell_type", default="PT")
+    dp.add_argument("--expecto_column", default=None, help="expecto column for the scatter (default: first)")
     dp.add_argument("-o", dest="out_dir", default="distribution_plots")
 
     args = p.parse_args(argv)
@@ -135,18 +175,27 @@ def main(argv=None) -> int:
 
     if args.cmd == "interpret-features":
         from ..analysis.cluster import (
-            hierarchical_feature_clusters,
+            cut_feature_clustering,
+            fit_feature_clustering,
             hierarchical_mark_clusters,
             feature_clusters_table,
             mark_clusters_table,
             cluster_sizes,
         )
-        from ..pipeline.train import chromosome_split
+        from ..pipeline.train import chromosome_split, gene_filter
 
+        np.random.seed(0)
         X = np.load(args.inputFile)
         geneanno = pd.read_csv(args.annoFile)
         trainind, _ = chromosome_split(geneanno)
-        X_train = X[trainind]
+        filt = gene_filter(geneanno, args.filterStr)
+        if args.expFile is not None and args.targetIndex is not None:
+            geneexp = pd.read_csv(args.expFile)
+            print(f"Cell type: {geneexp.columns[args.targetIndex]}")
+            with np.errstate(invalid="ignore", divide="ignore"):
+                labels_log = np.log(np.asarray(geneexp.iloc[:, args.targetIndex], dtype=np.float64) + args.pseudocount)
+            filt = filt & np.isfinite(labels_log)
+        X_train = X[trainind & filt]
         features_df = load_beluga_features(args.belugaFeatures)
         if args.grouped:
             n_clusters = args.n_clusters if args.n_clusters != 10 else 110
@@ -154,7 +203,19 @@ def main(argv=None) -> int:
             table = mark_clusters_table(features_df, clusters)
             cluster_sizes(table).to_csv(f"{args.out_dir}/cluster_sizes.tsv", sep="\t")
         else:
-            labels = hierarchical_feature_clusters(X_train, n_clusters=args.n_clusters)
+            import joblib
+
+            if args.clustering_joblib:
+                print(f"Loading clustering model from {args.clustering_joblib}...")
+                clustering = joblib.load(args.clustering_joblib)
+            else:
+                clustering = fit_feature_clustering(
+                    X_train, with_distances=args.clustering_with_distances,
+                    cache_dir=f"{args.out_dir}/cache",
+                )
+                name = "clustering_with_distances" if args.clustering_with_distances else "clustering_cached"
+                joblib.dump(clustering, f"{args.out_dir}/{name}.joblib")
+            labels = cut_feature_clustering(clustering, X_train, args.n_clusters)
             table = feature_clusters_table(features_df, labels.transpose(1, 0))
         table.to_csv(f"{args.out_dir}/all_feature_clusters.tsv", sep="\t")
         cdir = f"{args.out_dir}/clusters"
@@ -163,7 +224,7 @@ def main(argv=None) -> int:
             table[table["cluster"] == i].to_csv(f"{cdir}/cluster_{i}.tsv", sep="\t")
         print(f"wrote {args.out_dir}/all_feature_clusters.tsv")
 
-    elif args.cmd == "svd":
+    elif args.cmd in ("svd", "svd-transform"):
         from ..analysis.cluster import tfidf_transform, tfidf_svd
         from ..utils.keep_mask import get_keep_mask
 
@@ -176,28 +237,87 @@ def main(argv=None) -> int:
         tracks = np.empty((first.shape[1], len(npy_files), first.shape[0]), dtype=np.float32)
         for i, f in enumerate(npy_files):
             tracks[:, i] = np.load(f).T
+        features_df = load_beluga_features(args.belugaFeatures)
+        keep_mask = np.asarray(get_keep_mask(
+            features_df, args.no_tf_features, args.no_dnase_features, args.no_histone_features,
+            args.intersect_with_lambert, args.no_pol2,
+            lambert_hgnc_path=args.lambert_hgnc, hgnc_mapping_path=args.hgnc_mapping,
+        ))
+        tracks = tracks[np.nonzero(keep_mask)[0]]
         tracks = tracks.reshape(tracks.shape[0], -1)
-        svd = tfidf_svd(tracks, n_components=args.n_components)
+        print(f"Tracks shape: {tracks.shape}")
         import joblib
 
-        joblib.dump(svd, f"{args.out_dir}/svd_{args.n_components}.joblib")
-        if args.transform_out:
-            np.save(args.transform_out, svd.transform(tfidf_transform(tracks)))
-        print(f"wrote {args.out_dir}/svd_{args.n_components}.joblib")
+        if args.cmd == "svd-transform":
+            svd = joblib.load(args.svd_joblib)
+            X = svd.transform(tfidf_transform(tracks))
+            np.save(f"{args.out_dir}/tf_idf_reduced_{X.shape[1]}.npy", X)
+            print(f"wrote {args.out_dir}/tf_idf_reduced_{X.shape[1]}.npy")
+        else:
+            svd = tfidf_svd(tracks, n_components=args.n_components)
+            joblib.dump(svd, f"{args.out_dir}/svd_{args.n_components}.joblib")
+            if args.transform_out:
+                np.save(args.transform_out, svd.transform(tfidf_transform(tracks)))
+            print(f"wrote {args.out_dir}/svd_{args.n_components}.joblib")
 
     elif args.cmd == "cluster-viz":
         from ..analysis.cluster import kmeans_clusters, louvain_clusters
 
-        X = np.load(args.embedding_npy)
+        np.random.seed(0)
+        emb_path = args.embedding
+        if os.path.isdir(emb_path):
+            hits = sorted(glob.glob(f"{emb_path}/tf_idf_reduced_*.npy"))
+            if not hits:
+                print(f"no tf_idf_reduced_*.npy in {emb_path}", file=sys.stderr)
+                return 2
+            emb_path = hits[0]
+        X = np.load(emb_path)
+        X = X[:, : args.n_pcs]
         if args.method == "kmeans":
             if args.tsne:
                 labels, emb = kmeans_clusters(X, k=args.k, with_tsne=True)
                 np.save(f"{args.out_dir}/tsne_embedding.npy", emb)
+                import matplotlib
+
+                matplotlib.use("Agg")
+                import matplotlib.pyplot as plt
+
+                plt.figure()
+                for i in np.unique(labels):
+                    pts = emb[labels == i]
+                    plt.scatter(pts[:, 0], pts[:, 1], label=f"cluster {i}", s=8)
+                plt.savefig(f"{args.out_dir}/tsne_clusters.png", dpi=300)
+                plt.close()
             else:
                 labels = kmeans_clusters(X, k=args.k)
         else:
             labels = louvain_clusters(X)
         pd.DataFrame({"cluster": labels}).to_csv(f"{args.out_dir}/clusters.tsv", sep="\t")
+        if args.belugaFeatures:
+            # per-mark tables as in cluster_and_viz.py:74-103 (ablations mirror
+            # the mask used when the embedding was built)
+            features_df = load_beluga_features(args.belugaFeatures)
+            mask = np.ones(features_df.shape[0], dtype=bool)
+            if args.no_tf_features:
+                mask &= (features_df["Assay type"] != "TF").values
+            if args.no_dnase_features:
+                mask &= (features_df["Assay type"] != "DNase").values
+            if args.no_histone_features:
+                mask &= (features_df["Assay type"] != "Histone").values
+            table = features_df[mask].copy()
+            if table.shape[0] != len(labels):
+                print(f"belugaFeatures mask rows ({table.shape[0]}) != embedding rows ({len(labels)})", file=sys.stderr)
+                return 2
+            table["cluster"] = labels
+            table.to_csv(f"{args.out_dir}/all_feature_clusters.tsv", sep="\t")
+            cdir = f"{args.out_dir}/clusters"
+            os.makedirs(cdir, exist_ok=True)
+            sizes = pd.DataFrame(columns=["size"])
+            for i in sorted(set(labels)):
+                cluster_df = table[table["cluster"] == i]
+                cluster_df.to_csv(f"{cdir}/cluster_{i}.tsv", sep="\t")
+                sizes.loc[f"cluster_{i}"] = cluster_df.shape[0]
+            sizes.sort_values(by="size", ascending=False).to_csv(f"{args.out_dir}/cluster_sizes.tsv", sep="\t")
         print(f"wrote {args.out_dir}/clusters.tsv ({len(set(labels))} clusters)")
 
     elif args.cmd == "collect-pwms":
@@ -454,9 +574,53 @@ def main(argv=None) -> int:
             exp_df = exp_df[args.columns.split(",")]
         else:
             exp_df = exp_df.select_dtypes("number")
+
+        nan_mask = None
+        if args.kidney_exp_file:
+            # kidney per-column histograms + kidney-vs-expecto scatter
+            # (plot_data_distributions.py:22-75)
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            kidney_df = pd.read_csv(args.kidney_exp_file, index_col=0).reset_index(drop=True)
+            nan_mask = np.asarray(kidney_df.isnull().any(axis=1))
+            kidney_log = np.log(kidney_df[~nan_mask] + args.pseudocount)
+            kdir = f"{args.out_dir}/kidney"
+            os.makedirs(kdir, exist_ok=True)
+            bins = np.linspace(float(np.min(kidney_log.values)), float(np.max(kidney_log.values)), num=50)
+            for cell_type in kidney_log.columns:
+                plt.figure()
+                plt.hist(kidney_log[cell_type], bins=bins)
+                plt.title(cell_type)
+                plt.savefig(f"{kdir}/{cell_type}_hist.png", dpi=300)
+                plt.close()
+
+        if args.kidney_genes_only:
+            if nan_mask is None:
+                print("--kidney_genes_only requires --kidney_exp_file", file=sys.stderr)
+                return 2
+            exp_df = exp_df[~nan_mask]
+
         plot_expression_distributions(
             exp_df, f"{args.out_dir}/expression_distributions.png", pseudocount=args.pseudocount
         )
+
+        if args.kidney_exp_file:
+            from ..utils.plotting import plot_preds
+
+            expecto_col = args.expecto_column or exp_df.columns[0]
+            y_exp = np.log(np.asarray(exp_df[expecto_col], dtype=np.float64) + args.pseudocount)
+            if not args.kidney_genes_only:
+                y_exp = y_exp[~nan_mask]
+            x_kid = np.asarray(kidney_log[args.kidney_cell_type], dtype=np.float64)
+            plot_preds(
+                x_kid, y_exp,
+                f"{args.out_dir}/scatter_{args.kidney_cell_type}_vs_{expecto_col}.png",
+                xlabel=f"{args.kidney_cell_type} expression, log(RPKM)",
+                ylabel=f"{expecto_col} expression, log(RPKM)",
+            )
         print(f"wrote {args.out_dir}/expression_distributions.png")
 
     return 0

@@ -15,6 +15,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="output.csv", help="output csv for --modelList mode")
     p.add_argument("--belugaFeatures", type=str, default=None)
     p.add_argument("--coorFile", "--coorFile_chromatin", dest="coorFile", type=str, required=True)
+    p.add_argument("--rsat_clusters_tab", type=str, default=None,
+                   help="accepted for parity; the reference's predict.py parses this flag but "
+                        "never uses it (predict.py:25 — cluster scoring lives in predict_by_cluster_rsat.py)")
     p.add_argument("--geneFile", type=str, required=True)
     p.add_argument("--snpEffectFilePattern", type=str, required=True)
     p.add_argument("--nfeatures", type=int, default=2002)

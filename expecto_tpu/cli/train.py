@@ -23,6 +23,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--eta", type=float, default=0.01)
     p.add_argument("--base_score", type=float, default=2)
     p.add_argument("--threads", type=int, default=16, help="kept for CLI parity")
+    p.add_argument("--kidney_genes_only", action="store_true",
+                   help="only use genes with no NaNs in --kidney_exp_file (reference train.py:102-105)")
+    p.add_argument("--kidney_exp_file", type=str, default="./resources/geneanno.exp_kidney.csv")
+    p.add_argument("--match_with_basenji2", action="store_true",
+                   help="only use genes whose id appears in --basenji2_tss_file's ens_id column "
+                        "(reference train.py:107-112; the reference hard-codes a cluster path)")
+    p.add_argument("--basenji2_tss_file", type=str, default=None)
     p.add_argument("--no_tf_features", action="store_true")
     p.add_argument("--no_dnase_features", action="store_true")
     p.add_argument("--no_histone_features", action="store_true")
@@ -76,6 +83,20 @@ def main(argv=None) -> int:
             args.intersect_with_lambert, args.no_pol2,
         )
 
+    extra_filter = None
+    if args.kidney_genes_only:
+        print("Using only genes found in our kidney data...")
+        kidney_exp_df = pd.read_csv(args.kidney_exp_file, index_col=0)
+        extra_filter = ~np.asarray(kidney_exp_df.isnull().any(axis=1))
+    if args.match_with_basenji2:
+        if not args.basenji2_tss_file:
+            print("--match_with_basenji2 requires --basenji2_tss_file", file=sys.stderr)
+            return 2
+        print("Using only genes found in our cultured primary tubule data...")
+        tss_df = pd.read_csv(args.basenji2_tss_file, sep="\t", index_col=0)
+        in_tss = geneanno["id"].isin(tss_df["ens_id"]).values
+        extra_filter = in_tss if extra_filter is None else (extra_filter & in_tss)
+
     hp = GBLinearParams(
         eta=args.eta, reg_lambda=args.l2, reg_alpha=args.l1,
         base_score=args.base_score, num_round=args.num_round,
@@ -117,11 +138,16 @@ def main(argv=None) -> int:
         Xreducedall, geneanno, geneexp.iloc[:, args.targetIndex].values,
         filter_str=args.filterStr, pseudocount=args.pseudocount,
         params=hp, keep_mask=keep_mask, output_prefix=prefix,
-        seed_resample=args.seed, verbose=True,
+        seed_resample=args.seed, extra_filter=extra_filter, verbose=True,
     )
     print(f"spearman (chr8 holdout): {res.spearman:.4f}")
     if args.evalFile:
         pd.DataFrame({"pred": res.test_pred, "target": res.test_true}).to_csv(args.evalFile)
+    if res.train_pred is not None:
+        from ..utils.plotting import plot_preds
+
+        plot_preds(res.test_true, res.test_pred, os.path.join(args.output_dir, "test_plots.png"))
+        plot_preds(res.train_true, res.train_pred, os.path.join(args.output_dir, "train_plots.png"))
     return 0
 
 

@@ -64,6 +64,8 @@ class TrainResult:
     test_pred: np.ndarray
     test_true: np.ndarray
     train_spearman: float | None = None
+    train_pred: np.ndarray | None = None
+    train_true: np.ndarray | None = None
 
 
 def train_expression_model(
@@ -112,15 +114,19 @@ def train_expression_model(
         X_tr, y_tr, hp, evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose
     )
     pred_te = model.predict(X_te)
+    pred_tr = model.predict(X_tr)
     rho = float(spearmanr(pred_te, y_te).statistic) if len(y_te) > 1 else float("nan")
-    rho_tr = float(spearmanr(model.predict(X_tr), y_tr).statistic) if len(y_tr) > 1 else float("nan")
+    rho_tr = float(spearmanr(pred_tr, y_tr).statistic) if len(y_tr) > 1 else float("nan")
 
     if output_prefix is not None:
         save_expression_model(model, str(output_prefix) + ".save")
         with open(str(output_prefix) + ".dump", "w") as f:
             f.write(dump_text(model))
 
-    return TrainResult(model=model, spearman=rho, test_pred=pred_te, test_true=y_te, train_spearman=rho_tr)
+    return TrainResult(
+        model=model, spearman=rho, test_pred=pred_te, test_true=y_te,
+        train_spearman=rho_tr, train_pred=pred_tr, train_true=y_tr,
+    )
 
 
 def train_bootstrap(

@@ -464,3 +464,60 @@ def test_compute_features_atac_cli(tmp_path, weights_npz, genome_path):
         "-o", str(tmp_path / "out2"),
     ])
     assert rc == 2
+
+
+def test_train_cli_kidney_filter_and_plots(tmp_path):
+    from expecto_tpu.cli.train import main as train_main
+
+    rng = np.random.default_rng(4)
+    n = 120
+    X = rng.normal(size=(n, 8)).astype(np.float32)
+    np.save(tmp_path / "X.npy", X)
+    geneanno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "symbol": ["s"] * n,
+        "seqnames": rng.choice(["chr1", "chr8"], size=n),
+        "strand": ["+"] * n,
+        "TSS": np.arange(n),
+        "CAGE_representative_TSS": np.arange(n),
+        "type": ["protein_coding"] * n,
+    })
+    geneanno.to_csv(tmp_path / "anno.csv", index=False)
+    pd.DataFrame({"gene": geneanno["id"], "tissueX": np.exp(rng.normal(size=n))}).to_csv(
+        tmp_path / "exp.csv", index=False
+    )
+    kidney = pd.DataFrame({"PT": np.exp(rng.normal(size=n))}, index=geneanno["id"])
+    kidney.iloc[:10] = np.nan  # 10 genes dropped by --kidney_genes_only
+    kidney.to_csv(tmp_path / "kidney.csv")
+
+    rc = train_main([
+        "--targetIndex", "1", "--expFile", str(tmp_path / "exp.csv"),
+        "--inputFile", str(tmp_path / "X.npy"), "--annoFile", str(tmp_path / "anno.csv"),
+        "--num_round", "5", "--output_dir", str(tmp_path / "models"),
+        "--kidney_genes_only", "--kidney_exp_file", str(tmp_path / "kidney.csv"),
+    ])
+    assert rc == 0
+    assert list((tmp_path / "models").glob("*.save"))
+    # reference train.py:162-184 writes train/test scatter plots
+    assert (tmp_path / "models" / "test_plots.png").exists()
+    assert (tmp_path / "models" / "train_plots.png").exists()
+
+
+def test_train_cli_basenji2_requires_file(tmp_path):
+    from expecto_tpu.cli.train import main as train_main
+
+    np.save(tmp_path / "X.npy", np.zeros((4, 8), np.float32))
+    pd.DataFrame({
+        "id": ["G0", "G1", "G2", "G3"], "symbol": ["s"] * 4,
+        "seqnames": ["chr1", "chr1", "chr8", "chr8"], "strand": ["+"] * 4,
+        "TSS": range(4), "CAGE_representative_TSS": range(4), "type": ["protein_coding"] * 4,
+    }).to_csv(tmp_path / "anno.csv", index=False)
+    pd.DataFrame({"gene": ["G0", "G1", "G2", "G3"], "t": [1.0, 2.0, 3.0, 4.0]}).to_csv(
+        tmp_path / "exp.csv", index=False
+    )
+    rc = train_main([
+        "--targetIndex", "1", "--expFile", str(tmp_path / "exp.csv"),
+        "--inputFile", str(tmp_path / "X.npy"), "--annoFile", str(tmp_path / "anno.csv"),
+        "--match_with_basenji2",
+    ])
+    assert rc == 2

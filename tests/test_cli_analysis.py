@@ -278,3 +278,122 @@ class TestPlotCLIs:
         ])
         assert rc == 0
         assert (tmp_path / "plots" / "expression_distributions.png").exists()
+
+
+def _beluga_tsv(path, assay_types):
+    rows = ["\t".join(["i", "Cell type", "Assay", "Treatment", "Assay type", "Source"])]
+    for i, at in enumerate(assay_types):
+        rows.append("\t".join([str(i), f"cell{i}", f"TF{i}", "None", at, "ENCODE"]))
+    path.write_text("\n".join(rows) + "\n")
+
+
+class TestInterpretFeaturesCLI:
+    def _fixture(self, tmp_path, n_genes=40, n_marks=3):
+        rng = np.random.default_rng(0)
+        X = rng.normal(size=(n_genes, 10 * n_marks)).astype(np.float32)
+        np.save(tmp_path / "X.npy", X)
+        geneanno = pd.DataFrame({
+            "id": [f"G{i}" for i in range(n_genes)],
+            "symbol": ["s"] * n_genes,
+            "seqnames": ["chr1"] * (n_genes - 5) + ["chr8"] * 5,
+            "strand": ["+"] * n_genes,
+            "TSS": np.arange(n_genes),
+            "CAGE_representative_TSS": np.arange(n_genes),
+            "type": ["protein_coding"] * n_genes,
+        })
+        geneanno.to_csv(tmp_path / "anno.csv", index=False)
+        exp = np.exp(rng.normal(size=n_genes))
+        exp[0] = -1.0  # log -> NaN: must be dropped by the finite-label filter
+        pd.DataFrame({"gene": geneanno["id"], "t1": exp}).to_csv(tmp_path / "exp.csv", index=False)
+        _beluga_tsv(tmp_path / "beluga.tsv", ["TF"] * n_marks)
+
+    def test_exp_filter_and_joblib_reuse(self, tmp_path):
+        self._fixture(tmp_path)
+        base = [
+            "interpret-features",
+            "--inputFile", str(tmp_path / "X.npy"),
+            "--annoFile", str(tmp_path / "anno.csv"),
+            "--belugaFeatures", str(tmp_path / "beluga.tsv"),
+            "--expFile", str(tmp_path / "exp.csv"), "--targetIndex", "1",
+            "--n_clusters", "3",
+        ]
+        rc = analysis_main(base + ["--out_dir", str(tmp_path / "out1")])
+        assert rc == 0
+        table1 = pd.read_csv(tmp_path / "out1" / "all_feature_clusters.tsv", sep="\t", index_col=0)
+        assert table1.shape[0] == 30  # 3 marks x 10 basis coefficients
+        assert set(table1["cluster"]) == {0, 1, 2}
+        assert (tmp_path / "out1" / "clustering_cached.joblib").exists()
+        assert sorted((tmp_path / "out1" / "clusters").glob("cluster_*.tsv"))
+
+        # reuse the fitted clustering: identical labels
+        rc = analysis_main(base + [
+            "--clustering_joblib", str(tmp_path / "out1" / "clustering_cached.joblib"),
+            "--out_dir", str(tmp_path / "out2"),
+        ])
+        assert rc == 0
+        table2 = pd.read_csv(tmp_path / "out2" / "all_feature_clusters.tsv", sep="\t", index_col=0)
+        assert list(table1["cluster"]) == list(table2["cluster"])
+
+
+class TestSvdChainCLI:
+    def test_svd_transform_cluster_viz(self, tmp_path):
+        rng = np.random.default_rng(1)
+        rep = tmp_path / "rep"
+        rep.mkdir()
+        for g in range(3):
+            np.save(rep / f"gene{g}.npy", np.abs(rng.normal(size=(20, 6))).astype(np.float32))
+        _beluga_tsv(tmp_path / "beluga.tsv", ["TF", "TF", "TF", "TF", "DNase", "DNase"])
+        mask_flags = ["--belugaFeatures", str(tmp_path / "beluga.tsv"), "--no_dnase_features"]
+
+        rc = analysis_main([
+            "svd", str(rep), "--n_components", "2", *mask_flags,
+            "--out_dir", str(tmp_path / "svd"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "svd" / "svd_2.joblib").exists()
+
+        rc = analysis_main([
+            "svd-transform", str(rep), str(tmp_path / "svd" / "svd_2.joblib"), *mask_flags,
+            "-o", str(tmp_path / "svdt"),
+        ])
+        assert rc == 0
+        emb = np.load(tmp_path / "svdt" / "tf_idf_reduced_2.npy")
+        assert emb.shape == (4, 2)  # DNase marks masked out
+
+        rc = analysis_main([
+            "cluster-viz", str(tmp_path / "svdt"), "--n_pcs", "2", "--k", "2", *mask_flags,
+            "--out_dir", str(tmp_path / "cv"),
+        ])
+        assert rc == 0
+        table = pd.read_csv(tmp_path / "cv" / "all_feature_clusters.tsv", sep="\t", index_col=0)
+        assert table.shape[0] == 4
+        assert (tmp_path / "cv" / "cluster_sizes.tsv").exists()
+        assert sorted((tmp_path / "cv" / "clusters").glob("cluster_*.tsv"))
+
+
+class TestPlotDistributionsKidney:
+    def test_kidney_hists_and_scatter(self, tmp_path):
+        n = 30
+        rng = np.random.default_rng(2)
+        pd.DataFrame({
+            "t1": np.exp(rng.normal(size=n)),
+            "t2": np.exp(rng.normal(size=n)),
+        }).to_csv(tmp_path / "exp.csv", index=False)
+        kidney = pd.DataFrame({
+            "PT": np.exp(rng.normal(size=n)),
+            "LOH": np.exp(rng.normal(size=n)),
+        }, index=[f"G{i}" for i in range(n)])
+        kidney.iloc[3, 0] = np.nan
+        kidney.to_csv(tmp_path / "kidney.csv")
+
+        rc = analysis_main([
+            "plot-distributions", "--expFile", str(tmp_path / "exp.csv"),
+            "--kidney_exp_file", str(tmp_path / "kidney.csv"),
+            "--kidney_genes_only",
+            "-o", str(tmp_path / "plots"),
+        ])
+        assert rc == 0
+        assert (tmp_path / "plots" / "kidney" / "PT_hist.png").exists()
+        assert (tmp_path / "plots" / "kidney" / "LOH_hist.png").exists()
+        assert (tmp_path / "plots" / "scatter_PT_vs_t1.png").exists()
+        assert (tmp_path / "plots" / "expression_distributions.png").exists()
