@@ -52,6 +52,174 @@ def extract_bins(chromatin_preds: np.ndarray, center_bin: int, flank: int = 50) 
     return chromatin_preds[..., lo:hi, :]
 
 
+def _load_gene_tables(eqtls_csv: str, genes_csv: str, subset_genes_txt: str | None):
+    """eqtls (indexed by lowercase gene name) + genes table with strand
+    (extract_lymphoblastoid_consensus_preds.py:46-63)."""
+    import pandas as pd
+
+    eqtls_df = pd.read_csv(eqtls_csv, index_col=0).set_index("name")
+    genes_df = pd.read_csv(genes_csv, names=["ens_id", "chrom", "bp", "gene_symbol", "strand"], index_col=False)
+    genes_df["name"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"]).str.lower()
+    genes_df = genes_df.set_index("name")
+    if subset_genes_txt is not None:
+        subset_df = pd.read_csv(subset_genes_txt)
+        subset_df["name"] = subset_df["name"].fillna(subset_df["geneID"]).str.lower()
+        genes_df = genes_df[genes_df.index.isin(set(subset_df["name"]))]
+    return eqtls_df, genes_df
+
+
+def _extract_expecto_gene(row, *, extract_mode, out_dir, expecto_preds_dir, track_idx, track_ids):
+    """One gene (or gene-SNP pair) of the ExPecto extraction branch
+    (extract_lymphoblastoid_consensus_preds.py:80-117)."""
+    import os
+
+    import h5py
+    import pandas as pd
+
+    gene = row.name
+    if extract_mode == "snp":
+        preds_out_dir = f"{out_dir}/{gene}_{row['SNP_ID']}"
+    else:
+        preds_out_dir = f"{out_dir}/{gene}"
+    os.makedirs(preds_out_dir, exist_ok=True)
+
+    with h5py.File(f"{expecto_preds_dir}/{gene}/{gene}_chromatin.h5", "r") as gene_h5:
+        preds = gene_h5["chromatin_preds"]
+        sample_names = [x.decode("utf-8").split("|")[1] for x in gene_h5["record_ids"]]
+        if extract_mode == "snp":
+            target_bin = get_snp_bin(row["SNPpos"], row["TSSpos_x"], row["strand"], model="expecto")
+        else:  # tss / 50_bins center on the TSS bin
+            target_bin = get_snp_bin(row["bp"], row["bp"], row["strand"], model="expecto")
+        if extract_mode != "50_bins":
+            sel = preds[:, target_bin, :][:, track_idx]
+            pd.DataFrame(sel, index=sample_names, columns=track_ids).to_csv(
+                f"{preds_out_dir}/expecto_preds.csv"
+            )
+        else:
+            sel = preds[:, max(target_bin - 50, 0) : target_bin + 51, :][:, :, track_idx].astype(np.float16)
+            with h5py.File(f"{preds_out_dir}/expecto_gm12878_preds.h5", "w") as h5f:
+                h5f.create_dataset("all_preds", data=sel, compression="gzip", compression_opts=9)
+                h5f.create_dataset("sample_names", data=np.array(sample_names, dtype="S"))
+                h5f.create_dataset("features", data=np.array(track_ids, dtype=h5py.special_dtype(vlen=str)))
+    return preds_out_dir
+
+
+def _extract_basenji_gene(row, *, extract_mode, out_dir, basenji_preds_dir, track_idx, track_ids):
+    """One gene of the Basenji extraction branch
+    (extract_lymphoblastoid_consensus_preds.py:119-181): per-sample h5s in
+    {gene}/all_bins_per_sample/*.h5 with an 'all_preds' (n_bins, n_tracks)
+    dataset."""
+    import glob
+    import os
+    from pathlib import Path
+
+    import h5py
+    import pandas as pd
+
+    gene = row.name
+    if extract_mode == "snp":
+        preds_out_dir = f"{out_dir}/{gene}_{row['SNP_ID']}"
+    else:
+        preds_out_dir = f"{out_dir}/{gene}"
+        if extract_mode == "tss" and os.path.exists(f"{preds_out_dir}/basenji_preds.csv"):
+            return preds_out_dir
+    os.makedirs(preds_out_dir, exist_ok=True)
+
+    sample_files = sorted(glob.glob(f"{basenji_preds_dir}/{gene}/all_bins_per_sample/*.h5"))
+    sample_names = [Path(x).stem for x in sample_files]
+    if extract_mode == "snp":
+        target_bin = get_snp_bin(row["SNPpos"], row["TSSpos_x"], row["strand"], model="basenji")
+    else:
+        target_bin = get_snp_bin(row["bp"], row["bp"], row["strand"], model="basenji")
+
+    if extract_mode != "50_bins":
+        out_df = pd.DataFrame(index=sample_names, columns=track_ids)
+        for sample_file in sample_files:
+            with h5py.File(sample_file, "r") as gene_h5:
+                out_df.loc[Path(sample_file).stem, :] = gene_h5["all_preds"][target_bin, :][track_idx]
+        out_df.to_csv(f"{preds_out_dir}/basenji_preds.csv")
+    else:
+        all_preds = np.empty((len(sample_files), 101, len(track_idx)), dtype=np.float16)
+        for i, sample_file in enumerate(sample_files):
+            with h5py.File(sample_file, "r") as gene_h5:
+                all_preds[i] = gene_h5["all_preds"][target_bin - 50 : target_bin + 51, :][:, track_idx]
+        with h5py.File(f"{preds_out_dir}/basenji_gm12878_preds.h5", "w") as f:
+            f.create_dataset("all_preds", data=all_preds, compression="gzip", compression_opts=9)
+            f.create_dataset("sample_names", data=np.array(sample_names, dtype="S"))
+            f.create_dataset("features", data=np.array(track_idx))
+    return preds_out_dir
+
+
+def extract_consensus_dataset(
+    *,
+    model: str,
+    extract_mode: str,
+    out_dir: str,
+    eqtls_csv: str,
+    genes_csv: str,
+    subset_genes_txt: str | None = None,
+    expecto_preds_dir: str | None = None,
+    beluga_features_tsv: str | None = None,
+    basenji_preds_dir: str | None = None,
+    targets_file: str | None = None,
+    cell_type: str = "GM12878",
+    progress: bool = False,
+) -> list[str]:
+    """Directory-level extraction driver (reference
+    extract_lymphoblastoid_consensus_preds.py:16-117): selects the
+    ``cell_type`` tracks of the chosen model, iterates eQTLs ('snp' mode) or
+    genes ('tss'/'50_bins'), and writes per-gene(-SNP) prediction tables.
+    """
+    import os
+
+    import pandas as pd
+
+    os.makedirs(out_dir, exist_ok=True)
+    eqtls_df, genes_df = _load_gene_tables(eqtls_csv, genes_csv, subset_genes_txt)
+
+    if model == "expecto":
+        features_df = pd.read_csv(beluga_features_tsv, sep="\t", index_col=0).reset_index(drop=True)
+        features_df["ID"] = (
+            features_df.index.astype(str) + "|" + features_df["Cell type"] + "|"
+            + features_df["Assay"] + "|" + features_df["Source"]
+        )
+        sel = features_df[features_df["Cell type"].str.contains(cell_type, na=False)]
+        worker = _extract_expecto_gene
+        kw = dict(expecto_preds_dir=expecto_preds_dir)
+    elif model == "basenji":
+        features_df = pd.read_csv(targets_file, sep="\t", index_col=0).reset_index(drop=True)
+        features_df["ID"] = (
+            features_df.index.astype(str) + "|" + features_df["description"] + "|" + features_df["identifier"]
+        )
+        sel = features_df[features_df["description"].str.contains(cell_type, na=False)]
+        worker = _extract_basenji_gene
+        kw = dict(basenji_preds_dir=basenji_preds_dir)
+    else:
+        raise AssertionError(f"model {model} not recognized")
+
+    if extract_mode == "snp":
+        merged = pd.merge(eqtls_df, genes_df, left_index=True, right_index=True, how="left")
+        eqtls_df["strand"] = merged["strand"]
+        if not set(eqtls_df["strand"]).issubset({"+", "-"}):
+            raise AssertionError("Strand not found for all eqtls")
+        rows_df = eqtls_df
+    else:
+        rows_df = genes_df
+
+    iterator = rows_df.iterrows()
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(iterator, total=rows_df.shape[0])
+    done = []
+    for _, row in iterator:
+        done.append(worker(
+            row, extract_mode=extract_mode, out_dir=out_dir,
+            track_idx=np.array(sel.index), track_ids=list(sel["ID"]), **kw,
+        ))
+    return done
+
+
 def extract_consensus_track_bins(
     chromatin_h5_path: str,
     snp_pos: int,

@@ -129,6 +129,23 @@ def main(argv=None) -> int:
     xp.add_argument("--flank", type=int, default=50)
     xp.add_argument("-o", dest="out_h5", required=True)
 
+    xd = sub.add_parser("extract-dataset", help="directory-level SNP/TSS/50-bin extraction over all eqtls/genes "
+                                                "(extract_lymphoblastoid_consensus_preds.py driver)")
+    xd.add_argument("--model", choices=["expecto", "basenji"], required=True)
+    xd.add_argument("--extract_mode", choices=["snp", "tss", "50_bins"], default="snp")
+    xd.add_argument("--eqtls_csv", required=True)
+    xd.add_argument("--genes_csv", required=True)
+    xd.add_argument("--subset_genes_txt", default=None)
+    xd.add_argument("--expecto_preds_dir", default=None)
+    xd.add_argument("--beluga_features_tsv", default=None)
+    xd.add_argument("--basenji_preds_dir", default=None)
+    xd.add_argument("--targets_file", default=None)
+    xd.add_argument("--cell_type", default="GM12878")
+    xd.add_argument("--n_center_bins", type=int, default=10,
+                    help="accepted for parity; the reference parses but never uses it "
+                         "(extract_lymphoblastoid_consensus_preds.py:20)")
+    xd.add_argument("--out_dir", required=True)
+
     gp = sub.add_parser("make-profile", help="join a counts matrix onto the geneanno row order (resources/make_geneanno*.py)")
     gp.add_argument("--annoFile", required=True)
     gp.add_argument("--countsFile", required=True, help="CSV/TSV with gene ids or symbols as index")
@@ -520,6 +537,25 @@ def main(argv=None) -> int:
             track_indices, out_h5_path=args.out_h5, flank=args.flank, model=args.model,
         )
         print(f"wrote {args.out_h5} (snp_bin={out['snp_bin']} tss_bin={out['tss_bin']} tracks={len(track_indices)})")
+
+    elif args.cmd == "extract-dataset":
+        from ..analysis.extract import extract_consensus_dataset
+
+        if args.model == "expecto" and not (args.expecto_preds_dir and args.beluga_features_tsv):
+            print("--expecto_preds_dir and --beluga_features_tsv required for --model expecto", file=sys.stderr)
+            return 2
+        if args.model == "basenji" and not (args.basenji_preds_dir and args.targets_file):
+            print("--basenji_preds_dir and --targets_file required for --model basenji", file=sys.stderr)
+            return 2
+        done = extract_consensus_dataset(
+            model=args.model, extract_mode=args.extract_mode, out_dir=args.out_dir,
+            eqtls_csv=args.eqtls_csv, genes_csv=args.genes_csv,
+            subset_genes_txt=args.subset_genes_txt,
+            expecto_preds_dir=args.expecto_preds_dir, beluga_features_tsv=args.beluga_features_tsv,
+            basenji_preds_dir=args.basenji_preds_dir, targets_file=args.targets_file,
+            cell_type=args.cell_type, progress=True,
+        )
+        print(f"extracted {len(done)} gene dirs to {args.out_dir}")
 
     elif args.cmd == "make-profile":
         from ..pipeline.profiles import join_counts_to_geneanno, rank_match_to_profile

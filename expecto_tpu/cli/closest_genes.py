@@ -14,6 +14,9 @@ def main(argv=None) -> int:
     p.add_argument("--annoFile", default="./resources/geneanno.csv")
     p.add_argument("--all_in_receptive_field", action="store_true",
                    help="associate every gene whose receptive field covers the variant (not just the closest)")
+    p.add_argument("--add_chr_prefix", action="store_true",
+                   help="accepted for parity (make_closest_genes_file.py:29-30); chromosome names "
+                        "are always standardized to the chr-prefixed form here")
     p.add_argument("-o", dest="out_dir", default="closest_genes_out")
     args = p.parse_args(argv)
 
@@ -27,6 +30,13 @@ def main(argv=None) -> int:
     geneanno = pd.read_csv(args.annoFile, index_col=0)
     genes, vcf_out = make_closest_genes_table(vcf, geneanno, all_in_receptive_field=args.all_in_receptive_field)
     genes.to_csv(f"{args.out_dir}/closest_genes.tsv", sep="\t", index=False, header=False)
+    # snps_hg19.vcf with multiplicity matching the gene table
+    # (make_closest_genes_file.py:35-39,66)
+    vcf_path = f"{args.out_dir}/snps_hg19.vcf"
+    with open(vcf_path, "w") as f:
+        print("##fileformat=VCFv4.3", file=f)
+        print("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO", file=f)
+    vcf_out.to_csv(vcf_path, sep="\t", index=False, header=False, mode="a")
     vcf_out.to_csv(f"{args.out_dir}/snps_expanded.vcf", sep="\t", index=False, header=False)
     print(f"wrote {args.out_dir}/closest_genes.tsv ({genes.shape[0]} rows)")
     return 0

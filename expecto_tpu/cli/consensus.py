@@ -42,6 +42,14 @@ def main(argv=None) -> int:
     ep.add_argument("eur_top_eqtl_genes_csv")
     ep.add_argument("eqtls_csv")
 
+    tp = sub.add_parser("top-eqtls", help="consensus predictions for the top-eqtl gene set, gzipped "
+                                          "one-FASTA-per-gene layout (geuvadis_predict_consensus_for_top_eqtls.py)")
+    common(tp)
+    tp.add_argument("eqtls_df_file")
+    tp.add_argument("snps_vcf")
+    tp.add_argument("--genes", type=str, default=None,
+                    help="comma-separated gene list (default: the reference's six hard-coded genes)")
+
     args = p.parse_args(argv)
 
     import jax
@@ -77,6 +85,12 @@ def main(argv=None) -> int:
         c.sed_for_top_eqtls(
             args.expecto_model, args.consensus_dir, args.eur_top_eqtl_genes_csv, args.eqtls_csv,
             runner, args.out_dir,
+        )
+    elif args.cmd == "top-eqtls":
+        c.predict_consensus_for_top_eqtls(
+            args.expecto_model, args.consensus_dir, args.eqtls_df_file, args.snps_vcf,
+            runner, args.out_dir,
+            genes=args.genes.split(",") if args.genes else None, progress=True,
         )
     return 0
 

@@ -28,7 +28,7 @@ def main(argv=None) -> int:
     fp.add_argument("-o", dest="out_dir", default="merge_fimo")
 
     zp = sub.add_parser("compress", help="float16+gzip recompress consensus h5s")
-    zp.add_argument("--preds_dir", required=True)
+    zp.add_argument("--preds_dir", "--basenji_consensus_preds_dir", dest="preds_dir", required=True)
     zp.add_argument("--num_chunks", type=int, default=None)
     zp.add_argument("--chunk_i", type=int, default=None)
     zp.add_argument("--keep_original", action="store_true")

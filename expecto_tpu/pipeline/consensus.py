@@ -37,11 +37,16 @@ ENFORMER_SEQ_LENGTH = 393216
 
 
 def parse_fasta(path: str | os.PathLike):
-    """Minimal FASTA record iterator -> (record_id, sequence). Replaces the
-    Bio.SeqIO dependency."""
+    """Minimal FASTA record iterator -> (record_id, sequence); transparently
+    reads ``.gz`` files (the top-eqtl consensus layout stores one gzipped
+    FASTA per gene, geuvadis_predict_consensus_for_top_eqtls.py:78,137).
+    Replaces the Bio.SeqIO dependency."""
+    import gzip
+
+    opener = gzip.open if str(path).endswith(".gz") else open
     name = None
     chunks: list[str] = []
-    with open(path) as f:
+    with opener(path, "rt") as f:
         for line in f:
             line = line.strip()
             if line.startswith(">"):
@@ -231,6 +236,86 @@ def predict_consensus_genes(
             f.create_dataset("record_ids", data=np.array(record_ids, "S"))
         done.append(gene)
     return done
+
+
+# The reference hard-codes these six "highly and lowly variable" genes
+# (geuvadis_predict_consensus_for_top_eqtls.py:73).
+REFERENCE_TOP_EQTL_GENES = ("HLA-B", "HLA-C", "RPL28", "CPAMD8", "TMEM121B", "SCN11A")
+
+
+def merge_eqtls_with_vcf(eqtls_df_file: str, snps_vcf: str) -> pd.DataFrame:
+    """Join the top-eQTL table onto the SNP VCF by chrom_pos key
+    (geuvadis_predict_consensus_for_top_eqtls.py:52-66)."""
+    eqtls = pd.read_csv(eqtls_df_file)
+    eqtls["gene_symbol"] = eqtls["name"].fillna(eqtls["geneID"])
+    eqtls["SNPpos"] = eqtls["SNPpos"].astype(int).astype(str)
+    eqtls = eqtls.set_index("chr" + eqtls["CHR_SNP"].astype(str) + "_" + eqtls["SNPpos"])
+    vcf_df = pd.read_csv(snps_vcf, sep="\t", comment="#", header=None).iloc[:, 0:5]
+    vcf_df.columns = ["SNP_CHROM", "SNP_POS", "ID", "REF", "ALT"]
+    vcf_df.index = vcf_df.iloc[:, 0].astype(str) + "_" + vcf_df.iloc[:, 1].astype(str)
+    vcf_df = vcf_df.drop_duplicates()
+    return eqtls.merge(vcf_df, left_index=True, right_index=True, validate="m:1", how="inner")
+
+
+def predict_consensus_for_top_eqtls(
+    expecto_model_path: str,
+    consensus_dir: str,
+    eqtls_df_file: str,
+    snps_vcf: str,
+    runner: BelugaRunner,
+    out_dir: str,
+    *,
+    genes=None,
+    shifts=None,
+    progress: bool = False,
+) -> pd.DataFrame:
+    """C18 variant for the top-eQTL gene set
+    (geuvadis_predict_consensus_for_top_eqtls.py:23-128): consensus samples
+    live in one gzipped FASTA per gene ({gene}/{gene}.fa.gz), the strand is
+    embedded in each record id (field -2 of the '|' split), and the per-gene
+    h5 additionally stores the 41,800-bp ExPecto receptive-field slice of
+    every sample ('seqs') alongside 'preds' and 'record_ids'.
+
+    TSS indexing uses len(seq)//2 for both strands, matching the Enformer
+    convention the main consensus script settled on
+    (geuvadis_predict_consensus.py:217-227); the reference file's stale
+    (len-1)//2 '+'-strand variant predates the Enformer windows per the
+    reference's own comments.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    bst = load_expression_model(expecto_model_path.strip())
+    eqtls_df = merge_eqtls_with_vcf(eqtls_df_file, snps_vcf)
+    genes = list(REFERENCE_TOP_EQTL_GENES) if genes is None else list(genes)
+
+    iterator = genes
+    if progress:
+        from tqdm import tqdm
+
+        iterator = tqdm(genes)
+    for gene in iterator:
+        g = gene.lower()
+        preds_dir = f"{out_dir}/{g}"
+        os.makedirs(preds_dir, exist_ok=True)
+        record_ids, seqs_and_strands, span_seqs = [], [], []
+        for rec_id, seq in parse_fasta(f"{consensus_dir}/{g}/{g}.fa.gz"):
+            seq = seq.upper()
+            strand = rec_id.split("|")[-2]
+            seqs_and_strands.append((seq, strand))
+            record_ids.append(rec_id)
+            # the stored receptive-field slice == the shift-window span
+            sgn = {"+": 1, "-": -1}[strand]
+            tss_i = len(seq) // 2
+            use_shifts = gene_shifts() if shifts is None else shifts
+            starts = [tss_i + s * sgn - 999 for s in use_shifts]
+            span_seqs.append(seq[min(starts) : max(starts) + 2000])
+        preds = _predict_consensus_preds(runner, seqs_and_strands, shifts)
+        feats = _match_features(consensus_features(preds, shifts), bst)
+        expecto_preds = bst.predict(feats)
+        with h5py.File(f"{preds_dir}/{g}.h5", "w") as f:
+            f.create_dataset("preds", data=expecto_preds)
+            f.create_dataset("record_ids", data=np.array(record_ids, "S"))
+            f.create_dataset("seqs", data=np.array(span_seqs, "S"))
+    return eqtls_df
 
 
 def predict_ref_all_genes(

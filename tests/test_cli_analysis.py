@@ -397,3 +397,98 @@ class TestPlotDistributionsKidney:
         assert (tmp_path / "plots" / "kidney" / "LOH_hist.png").exists()
         assert (tmp_path / "plots" / "scatter_PT_vs_t1.png").exists()
         assert (tmp_path / "plots" / "expression_distributions.png").exists()
+
+
+class TestExtractDatasetCLI:
+    def _expecto_tree(self, tmp_path, gene="hla-b", n_samples=3, n_tracks=10):
+        import h5py
+
+        rng = np.random.default_rng(5)
+        preds = rng.normal(size=(n_samples, 200, n_tracks)).astype(np.float32)
+        d = tmp_path / "expecto" / gene
+        d.mkdir(parents=True)
+        with h5py.File(d / f"{gene}_chromatin.h5", "w") as f:
+            f.create_dataset("chromatin_preds", data=preds)
+            f.create_dataset(
+                "record_ids",
+                data=np.array([f"chr6:1-10|NA{i}|-|1pIu".encode() for i in range(n_samples)]),
+            )
+        return preds
+
+    def _tables(self, tmp_path, gene="hla-b", tss=100000):
+        pd.DataFrame({
+            "name": [gene], "SNP_ID": ["rs1"], "SNPpos": [tss + 100], "TSSpos_x": [tss],
+        }).to_csv(tmp_path / "eqtls.csv")
+        pd.DataFrame([["ENSG1", "chr6", tss, gene.upper(), "+"]]).to_csv(
+            tmp_path / "genes.csv", header=False, index=False
+        )
+        bf = tmp_path / "beluga.tsv"
+        rows = ["\t".join(["i", "Cell type", "Assay", "Treatment", "Assay type", "Source"])]
+        for i in range(10):
+            ct = "GM12878" if i in (2, 5) else "K562"
+            rows.append("\t".join([str(i), ct, f"TF{i}", "None", "TF", "ENCODE"]))
+        bf.write_text("\n".join(rows) + "\n")
+
+    def test_expecto_snp_mode(self, tmp_path):
+        from expecto_tpu.analysis.extract import get_snp_bin
+
+        preds = self._expecto_tree(tmp_path)
+        self._tables(tmp_path)
+        rc = analysis_main([
+            "extract-dataset", "--model", "expecto", "--extract_mode", "snp",
+            "--eqtls_csv", str(tmp_path / "eqtls.csv"), "--genes_csv", str(tmp_path / "genes.csv"),
+            "--expecto_preds_dir", str(tmp_path / "expecto"),
+            "--beluga_features_tsv", str(tmp_path / "beluga.tsv"),
+            "--out_dir", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        out = pd.read_csv(tmp_path / "out" / "hla-b_rs1" / "expecto_preds.csv", index_col=0)
+        assert out.shape == (3, 2)  # 3 samples x 2 GM12878 tracks
+        assert list(out.index) == ["NA0", "NA1", "NA2"]
+        sbin = get_snp_bin(100100, 100000, "+")
+        np.testing.assert_allclose(out.values, preds[:, sbin][:, [2, 5]], rtol=1e-6)
+
+    def test_expecto_50_bins_mode(self, tmp_path):
+        import h5py
+
+        self._expecto_tree(tmp_path)
+        self._tables(tmp_path)
+        rc = analysis_main([
+            "extract-dataset", "--model", "expecto", "--extract_mode", "50_bins",
+            "--eqtls_csv", str(tmp_path / "eqtls.csv"), "--genes_csv", str(tmp_path / "genes.csv"),
+            "--expecto_preds_dir", str(tmp_path / "expecto"),
+            "--beluga_features_tsv", str(tmp_path / "beluga.tsv"),
+            "--out_dir", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        with h5py.File(tmp_path / "out" / "hla-b" / "expecto_gm12878_preds.h5") as f:
+            assert f["all_preds"].dtype == np.float16
+            assert f["all_preds"].shape[0] == 3 and f["all_preds"].shape[2] == 2
+            assert len(f["sample_names"]) == 3 and len(f["features"]) == 2
+
+    def test_basenji_tss_mode(self, tmp_path):
+        import h5py
+
+        self._tables(tmp_path)
+        rng = np.random.default_rng(6)
+        for s in ("NA0", "NA1"):
+            d = tmp_path / "basenji" / "hla-b" / "all_bins_per_sample"
+            d.mkdir(parents=True, exist_ok=True)
+            with h5py.File(d / f"{s}.h5", "w") as f:
+                f.create_dataset("all_preds", data=rng.normal(size=(896, 8)).astype(np.float32))
+        tf = tmp_path / "targets.tsv"
+        rows = ["\t".join(["index", "identifier", "description"])]
+        for i in range(8):
+            desc = "CAGE:GM12878" if i == 1 else "CAGE:K562"
+            rows.append("\t".join([str(i), f"CNhs{i}", desc]))
+        tf.write_text("\n".join(rows) + "\n")
+        rc = analysis_main([
+            "extract-dataset", "--model", "basenji", "--extract_mode", "tss",
+            "--eqtls_csv", str(tmp_path / "eqtls.csv"), "--genes_csv", str(tmp_path / "genes.csv"),
+            "--basenji_preds_dir", str(tmp_path / "basenji"),
+            "--targets_file", str(tf),
+            "--out_dir", str(tmp_path / "out"),
+        ])
+        assert rc == 0
+        out = pd.read_csv(tmp_path / "out" / "hla-b" / "basenji_preds.csv", index_col=0)
+        assert out.shape == (2, 1) and list(out.index) == ["NA0", "NA1"]

@@ -250,3 +250,56 @@ class TestFp16Chromatin:
             exp_only=True, overwrite=True, chromatin_dtype=np.float16,
         )
         assert sorted(done) == ["genea", "geneb"]
+
+
+class TestTopEqtlConsensus:
+    def test_gz_layout_and_seqs_dataset(self, tmp_path):
+        import gzip
+
+        from expecto_tpu.pipeline.consensus import predict_consensus_for_top_eqtls
+
+        rng = np.random.default_rng(7)
+        gene = "hla-b"
+        os.makedirs(tmp_path / "consensus" / gene)
+        start = 5000
+        end = start + ENFORMER_SEQ_LENGTH - 1
+        recs = []
+        for sample, strand in [("NA1", "+"), ("NA2", "-")]:
+            seq = _random_seq(rng, ENFORMER_SEQ_LENGTH)
+            recs.append((f"chr6:{start}-{end}|{sample}|{strand}|1pIu", seq))
+        with gzip.open(tmp_path / "consensus" / gene / f"{gene}.fa.gz", "wt") as f:
+            for rid, seq in recs:
+                f.write(f">{rid}\n{seq}\n")
+
+        eqtls = pd.DataFrame({
+            "name": ["HLA-B"], "geneID": ["ENSG1"], "CHR_SNP": [6], "SNPpos": [31324000],
+        })
+        eqtls.to_csv(tmp_path / "eqtls.csv", index=False)
+        vcf = pd.DataFrame({
+            0: ["chr6"], 1: [31324000], 2: ["rs1"], 3: ["A"], 4: ["G"],
+        })
+        vcf.to_csv(tmp_path / "snps.vcf", sep="\t", header=False, index=False)
+
+        model_path = tmp_path / "model.save"
+        w = np.random.default_rng(1).normal(size=10 * (N_TRACKS + 1)).astype(np.float32) * 0.001
+        save_xgb07_binary(GBLinearModel(weight=w, bias=0.1, base_score=2.0), model_path)
+
+        merged = predict_consensus_for_top_eqtls(
+            str(model_path), str(tmp_path / "consensus"),
+            str(tmp_path / "eqtls.csv"), str(tmp_path / "snps.vcf"),
+            FakeRunner(), str(tmp_path / "out"),
+            genes=["HLA-B"], shifts=TEST_SHIFTS,
+        )
+        assert merged.shape[0] == 1 and merged["ID"].iloc[0] == "rs1"
+        with h5py.File(tmp_path / "out" / gene / f"{gene}.h5") as f:
+            assert f["preds"].shape == (2,)
+            ids = [x.decode() for x in f["record_ids"]]
+            assert ids == [r for r, _ in recs]
+            seqs = [s.decode() for s in f["seqs"]]
+            # span = [tss + min(shift*sgn) - 999, tss + max(shift*sgn) + 1001)
+            span_len = (max(TEST_SHIFTS) - min(TEST_SHIFTS)) + 2000
+            assert all(len(s) == span_len for s in seqs)
+            tss = ENFORMER_SEQ_LENGTH // 2
+            # '+' strand sample: span starts at tss + min(shifts) - 999
+            lo = tss + min(TEST_SHIFTS) - 999
+            assert seqs[0] == recs[0][1][lo : lo + span_len]
