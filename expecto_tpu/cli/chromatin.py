@@ -23,6 +23,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--inputsize", type=int, default=2000)
     p.add_argument("--batchsize", type=int, default=1024)
     p.add_argument("--output_dir", type=str, default="chromatin_out")
+    p.add_argument("--legacy_h5", action="store_true",
+                   help="also write original-ExPecto single-'pred' h5s alongside the diff/ref/alt schema")
     p.add_argument("--genome", type=str, default="./resources/hg19.fa")
     p.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz",
                    help="native npz checkpoint (convert .pth via expecto_tpu.models.convert)")
@@ -68,7 +70,8 @@ def main(argv=None) -> int:
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
     )
     compute_variant_chromatin_effects(
-        vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize
+        vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize,
+        legacy_h5=args.legacy_h5,
     )
     return 0
 

@@ -31,6 +31,15 @@ def write_shift_h5(path: str | os.PathLike, diff: np.ndarray, ref: np.ndarray, a
         f.create_dataset("alt", data=np.asarray(alt, np.float32))
 
 
+def write_legacy_shift_h5(path: str | os.PathLike, diff: np.ndarray) -> None:
+    """Write the legacy single-``pred`` schema (original FunctionLab ExPecto;
+    the format of the bundled example/*.diff.h5 fixtures) so downstream tools
+    written against original-ExPecto outputs can consume this engine's
+    files."""
+    with h5py.File(path, "w") as f:
+        f.create_dataset("pred", data=np.asarray(diff, np.float32))
+
+
 def read_shift_h5(path: str | os.PathLike) -> dict[str, np.ndarray]:
     """Read either schema. Legacy files yield {'diff': pred} only."""
     with h5py.File(path, "r") as f:

@@ -31,7 +31,7 @@ import pandas as pd
 from ..genome.encode import seqs_to_codes, reverse_complement_codes
 from ..genome.fasta import FastaIndex
 from ..genome.windows import fetch_variant_window, variant_shifts
-from ..io.h5 import write_shift_h5
+from ..io.h5 import write_legacy_shift_h5, write_shift_h5
 from ..parallel.runner import BelugaRunner
 
 
@@ -129,6 +129,7 @@ def compute_variant_chromatin_effects(
     keep_arrays: bool = False,
     use_spans: str = "auto",
     verbose: bool = True,
+    legacy_h5: bool = False,
 ) -> ChromatinResult:
     """Run the full per-shift chromatin-effect computation.
 
@@ -142,6 +143,8 @@ def compute_variant_chromatin_effects(
             without the HDF5 round-trip).
         use_spans: 'auto' (span path for substitution-only VCFs), 'always',
             or 'never'.
+        legacy_h5: additionally write the original-ExPecto single-``pred``
+            schema as ``{prefix}.shift_{s}.legacy.diff.h5``.
     """
     shifts = variant_shifts(maxshift)
     n = vcf.shape[0]
@@ -171,6 +174,10 @@ def compute_variant_chromatin_effects(
             write_shift_h5(
                 os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5"), diff, ref_rows, alt_rows
             )
+            if legacy_h5:
+                write_legacy_shift_h5(
+                    os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5"), diff
+                )
         if keep_arrays:
             arrays[shift] = (diff, ref_rows, alt_rows)
     if keep_arrays:

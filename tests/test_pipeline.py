@@ -86,6 +86,22 @@ class TestChromatinPipeline:
             np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
 
 
+class TestLegacyWrite:
+    def test_legacy_h5_roundtrip(self, tiny_genome, tiny_vcf, runner, tmp_path):
+        from expecto_tpu.io.h5 import write_legacy_shift_h5
+
+        fa, _ = tiny_genome
+        compute_variant_chromatin_effects(
+            tiny_vcf, fa, runner, tmp_path, maxshift=200, output_prefix="snps",
+            verbose=False, legacy_h5=True,
+        )
+        for shift in (0, -200, 200):
+            fork = read_shift_h5(tmp_path / f"snps.shift_{shift}.diff.h5")
+            legacy = read_shift_h5(tmp_path / f"snps.shift_{shift}.legacy.diff.h5")
+            assert set(legacy) == {"diff"}  # single-'pred' schema
+            np.testing.assert_array_equal(legacy["diff"], fork["diff"])
+
+
 class TestLegacyExample:
     def test_reads_reference_example_h5(self):
         data = read_shift_h5(f"{REFERENCE_EXAMPLE}/example.vcf.shift_0.diff.h5")
@@ -270,6 +286,31 @@ class TestClusterScoring:
         assert len(cluster_cols) == 4
         np.testing.assert_allclose(df[cluster_cols].sum(axis=1), 1.0, rtol=1e-6)
         assert (tmp_path / "clu" / "sed.tsv").exists()
+
+    def test_score_sed_with_clusters_keep_mask(self, tiny_vcf, tmp_path):
+        # ablated run: keep_mask drops marks, the model and cluster labels
+        # are defined over the kept marks (predict_by_cluster.py:179-182)
+        from expecto_tpu.pipeline.sed import score_sed_with_clusters
+
+        rng0 = np.random.default_rng(43)
+        effects = {k: rng0.normal(size=(3, 3, 2002)).astype(np.float32) for k in ("diff", "ref", "alt")}
+        gene = pd.DataFrame(
+            [
+                ["1", int(r[1]) - 1, int(r[1]), r[3], r[4], "1", 6999, 7000, "+", "G1", 7000 - int(r[1])]
+                for _, r in tiny_vcf.iterrows()
+            ]
+        )
+        rng = np.random.default_rng(9)
+        keep_mask = rng.random(2002) < 0.5
+        n_kept = int(keep_mask.sum())
+        model = GBLinearModel(weight=rng.normal(size=10 * n_kept).astype(np.float32) * 0.01, bias=0.0, base_score=2.0)
+        clusters = rng.integers(0, 3, size=n_kept)
+        df = score_sed_with_clusters(
+            effects, tiny_vcf, gene, model, clusters, maxshift=200, keep_mask=keep_mask
+        )
+        cluster_cols = [c for c in df.columns if str(c).startswith("cluster_")]
+        assert len(cluster_cols) == 3
+        np.testing.assert_allclose(df[cluster_cols].sum(axis=1), 1.0, rtol=1e-6)
 
 
 class TestVectorizedBootstrap:
