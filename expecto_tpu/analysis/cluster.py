@@ -47,16 +47,39 @@ def cut_feature_clustering(est, X: np.ndarray, n_clusters: int, n_basis: int = 1
     return labels.reshape(n_basis, -1).transpose(1, 0)
 
 
+def _grouped_mark_matrix(X: np.ndarray, n_basis: int = 10) -> np.ndarray:
+    """(n_genes, n_basis*n_marks) -> (n_marks, n_genes*n_basis): each mark
+    represented by its concatenated basis feature columns
+    (interpret_features_grouped.py:72,144-147)."""
+    n_marks = X.shape[1] // n_basis
+    return X.T.reshape(n_basis, n_marks, -1).transpose(1, 2, 0).reshape(n_marks, -1)
+
+
 def hierarchical_mark_clusters(X: np.ndarray, n_clusters: int = 110, n_basis: int = 10) -> np.ndarray:
     """Cluster the 2,002 *marks* by concatenating their basis feature columns
     (interpret_features_grouped.py:72,144-147): X (n_genes, n_basis*n_marks)
-    -> (n_marks,) labels, each mark represented by its n_genes*n_basis
-    grouped feature vector."""
+    -> (n_marks,) labels."""
     from sklearn.cluster import AgglomerativeClustering
 
-    n_marks = X.shape[1] // n_basis
-    grouped = X.T.reshape(n_basis, n_marks, -1).transpose(1, 2, 0).reshape(n_marks, -1)
-    return AgglomerativeClustering(n_clusters=n_clusters).fit(grouped).labels_
+    return AgglomerativeClustering(n_clusters=n_clusters).fit(_grouped_mark_matrix(X, n_basis)).labels_
+
+
+def fit_mark_clustering(X: np.ndarray, n_basis: int = 10, *, with_distances: bool = False, cache_dir: str | None = None):
+    """Fit the grouped-mark clustering estimator for joblib reuse
+    (interpret_features_grouped.py's --clustering_joblib workflow)."""
+    from sklearn.cluster import AgglomerativeClustering
+
+    if with_distances:
+        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None)
+    else:
+        est = AgglomerativeClustering(compute_full_tree=True, memory=cache_dir)
+    return est.fit(_grouped_mark_matrix(X, n_basis))
+
+
+def cut_mark_clustering(est, X: np.ndarray, n_clusters: int, n_basis: int = 10) -> np.ndarray:
+    """Re-cut a fitted grouped-mark clustering at ``n_clusters``."""
+    est.set_params(n_clusters=n_clusters, distance_threshold=None)
+    return est.fit(_grouped_mark_matrix(X, n_basis)).labels_
 
 
 def mark_clusters_table(beluga_features_df: pd.DataFrame, clusters: np.ndarray) -> pd.DataFrame:

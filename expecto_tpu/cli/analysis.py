@@ -193,8 +193,9 @@ def main(argv=None) -> int:
     if args.cmd == "interpret-features":
         from ..analysis.cluster import (
             cut_feature_clustering,
+            cut_mark_clustering,
             fit_feature_clustering,
-            hierarchical_mark_clusters,
+            fit_mark_clustering,
             feature_clusters_table,
             mark_clusters_table,
             cluster_sizes,
@@ -214,24 +215,25 @@ def main(argv=None) -> int:
             filt = filt & np.isfinite(labels_log)
         X_train = X[trainind & filt]
         features_df = load_beluga_features(args.belugaFeatures)
+        import joblib
+
+        if args.clustering_joblib:
+            print(f"Loading clustering model from {args.clustering_joblib}...")
+            clustering = joblib.load(args.clustering_joblib)
+        else:
+            fit = fit_mark_clustering if args.grouped else fit_feature_clustering
+            clustering = fit(
+                X_train, with_distances=args.clustering_with_distances,
+                cache_dir=f"{args.out_dir}/cache",
+            )
+            name = "clustering_with_distances" if args.clustering_with_distances else "clustering_cached"
+            joblib.dump(clustering, f"{args.out_dir}/{name}.joblib")
         if args.grouped:
             n_clusters = args.n_clusters if args.n_clusters != 10 else 110
-            clusters = hierarchical_mark_clusters(X_train, n_clusters=n_clusters)
+            clusters = cut_mark_clustering(clustering, X_train, n_clusters)
             table = mark_clusters_table(features_df, clusters)
             cluster_sizes(table).to_csv(f"{args.out_dir}/cluster_sizes.tsv", sep="\t")
         else:
-            import joblib
-
-            if args.clustering_joblib:
-                print(f"Loading clustering model from {args.clustering_joblib}...")
-                clustering = joblib.load(args.clustering_joblib)
-            else:
-                clustering = fit_feature_clustering(
-                    X_train, with_distances=args.clustering_with_distances,
-                    cache_dir=f"{args.out_dir}/cache",
-                )
-                name = "clustering_with_distances" if args.clustering_with_distances else "clustering_cached"
-                joblib.dump(clustering, f"{args.out_dir}/{name}.joblib")
             labels = cut_feature_clustering(clustering, X_train, args.n_clusters)
             table = feature_clusters_table(features_df, labels.transpose(1, 0))
         table.to_csv(f"{args.out_dir}/all_feature_clusters.tsv", sep="\t")
