@@ -57,7 +57,11 @@ def measure_tpu_variants_per_sec(params, *, n_variants: int, maxshift: int = 800
     span_len = 2 * maxshift + 2000
     rng = np.random.default_rng(0)
     mutpos = maxshift + 999
-    ref_spans = rng.integers(0, 5, size=(n_variants, span_len), dtype=np.int8)
+    # realistic composition: uniform ACGT with rare Ns (mappable-region
+    # genomes are effectively N-free; Ns ride the 2-bit packing's sideband)
+    ref_spans = rng.integers(0, 4, size=(n_variants, span_len), dtype=np.int8)
+    n_mask = rng.random(ref_spans.shape) < 1e-3
+    ref_spans[n_mask] = 4
     alt_alleles = ((ref_spans[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
     dists = rng.integers(-20000, 20000, size=n_variants)
     strands = rng.choice(["+", "-"], size=n_variants)

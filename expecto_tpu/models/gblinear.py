@@ -88,13 +88,16 @@ def _coord_delta(g: jax.Array, h: jax.Array, w: jax.Array, lam: float, alpha: fl
     return jnp.where(h < 1e-5, 0.0, delta)
 
 
-def _round_body(Xt_blocks, col_hess_blocks, hp: GBLinearParams, n_total, axis_name=None):
-    """Build one boosting round as a pure function of (w_blocks, bias, r)."""
+def _round_body(hp: GBLinearParams, axis_name=None):
+    """Build one boosting round as a pure function. The feature blocks are
+    *arguments* (not closure captures) so jit ships them as device buffers
+    rather than multi-GB HLO constants — capture breaks remote compilation
+    at the real 24k-gene x 20,020-feature scale."""
 
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def one_round(w_blocks, bias, r):
+    def one_round(w_blocks, bias, r, Xt_blocks, col_hess_blocks, n_total):
         # bias step (sum_hess = n for squared error)
         sum_g = psum(jnp.sum(r))
         db = hp.eta * (-sum_g / (n_total + hp.reg_lambda_bias))
@@ -148,8 +151,10 @@ def train_gblinear(
     Xt_blocks, _ = _pad_blocks(np.ascontiguousarray(X.T), hp.block_size)
     col_hess = np.sum(Xt_blocks.astype(np.float64) ** 2, axis=2).astype(np.float32)
 
-    one_round = _round_body(jnp.asarray(Xt_blocks), jnp.asarray(col_hess), hp, float(n))
-    jit_round = jax.jit(one_round, donate_argnums=(0, 2))
+    jit_round = jax.jit(_round_body(hp), donate_argnums=(0, 2))
+    Xt_dev = jax.device_put(Xt_blocks)
+    ch_dev = jax.device_put(col_hess)
+    n_total = jnp.float32(n)
 
     w_blocks = jnp.zeros(Xt_blocks.shape[:2], jnp.float32)
     bias = jnp.float32(0.0)
@@ -160,7 +165,7 @@ def train_gblinear(
     snapshots: dict[int, tuple[np.ndarray, float]] = {}
 
     for it in range(hp.num_round):
-        w_blocks, bias, r = jit_round(w_blocks, bias, r)
+        w_blocks, bias, r = jit_round(w_blocks, bias, r, Xt_dev, ch_dev, n_total)
         if evals:
             w_now = np.asarray(w_blocks).reshape(-1)[:f]
             b_now = float(bias)
@@ -195,19 +200,20 @@ def train_gblinear(
     )
 
 
-def _multi_round_body(Xt_blocks, Xt2_blocks, hp: GBLinearParams, axis_name=None):
+def _multi_round_body(hp: GBLinearParams, axis_name=None):
     """One boosting round for K models sharing the feature matrix.
 
     Residuals are (n, K); per-model row weights (n, K) express bootstrap
     resampling (integer multiplicities) or plain multi-target training
     (all-ones). Per-feature stats become single MXU matmuls over all models:
-    G = X_blk @ (w * r), H = X_blk^2 @ w.
+    G = X_blk @ (w * r), H = X_blk^2 @ w. Feature blocks are arguments, not
+    closure captures (see _round_body).
     """
 
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def one_round(w_blocks, bias, r, row_w, n_eff):
+    def one_round(w_blocks, bias, r, row_w, n_eff, Xt_blocks, Xt2_blocks):
         # bias step: sum_g/sum_h per model
         sum_g = psum(jnp.sum(row_w * r, axis=0))  # (K,)
         db = hp.eta * (-sum_g / (n_eff + hp.reg_lambda_bias))
@@ -268,11 +274,11 @@ def train_gblinear_multi(
     row_weights = np.asarray(row_weights, dtype=np.float32)
 
     Xt_blocks, _ = _pad_blocks(np.ascontiguousarray(X.T), hp.block_size)
-    Xt2_blocks = Xt_blocks**2
     n_eff = jnp.asarray(row_weights.sum(axis=0))  # (K,) effective row counts
 
-    one_round = _multi_round_body(jnp.asarray(Xt_blocks), jnp.asarray(Xt2_blocks), hp)
-    jit_round = jax.jit(one_round, donate_argnums=(0, 2))
+    jit_round = jax.jit(_multi_round_body(hp), donate_argnums=(0, 2))
+    Xt_dev = jax.device_put(Xt_blocks)
+    Xt2_dev = Xt_dev**2  # squared on device; avoids a second host-size copy
 
     w_blocks = jnp.zeros((Xt_blocks.shape[0], Xt_blocks.shape[1], k), jnp.float32)
     bias = jnp.zeros((k,), jnp.float32)
@@ -280,7 +286,7 @@ def train_gblinear_multi(
     rw = jnp.asarray(row_weights)
 
     for it in range(hp.num_round):
-        w_blocks, bias, r = jit_round(w_blocks, bias, r, rw, n_eff)
+        w_blocks, bias, r = jit_round(w_blocks, bias, r, rw, n_eff, Xt_dev, Xt2_dev)
         if verbose and it % 10 == 0:
             print(f"[{it}] mean|r| = {float(jnp.mean(jnp.abs(r))):.5f}")
 
@@ -310,8 +316,8 @@ def make_sharded_round_fn(hp: GBLinearParams, axis_name: str = "data"):
     """
 
     def round_fn(w_blocks, bias, r, Xt_blocks, col_hess_blocks, n_total):
-        return _round_body(Xt_blocks, col_hess_blocks, hp, n_total, axis_name=axis_name)(
-            w_blocks, bias, r
+        return _round_body(hp, axis_name=axis_name)(
+            w_blocks, bias, r, Xt_blocks, col_hess_blocks, n_total
         )
 
     return round_fn

@@ -57,6 +57,31 @@ def unpack_codes(packed: jax.Array, length: int) -> jax.Array:
     return codes[:, :length].astype(jnp.int8)
 
 
+def pack_codes2(codes: np.ndarray):
+    """Pack four base codes per byte (2 bits/base — the information content
+    of DNA) for host->device transfer; N bases (code 4) are carried in a
+    sparse (rows, cols) sideband since real genomes contain almost none in
+    mappable regions. Returns (packed (N, ceil(L/4)) uint8, rows, cols)."""
+    n, l = codes.shape
+    rows, cols = np.nonzero(codes == 4)
+    c = np.where(codes == 4, 0, codes).astype(np.uint8)
+    pad = (-l) % 4
+    if pad:
+        c = np.concatenate([c, np.zeros((n, pad), np.uint8)], axis=1)
+    q = c.reshape(n, -1, 4)
+    packed = (q[:, :, 0] << 6) | (q[:, :, 1] << 4) | (q[:, :, 2] << 2) | q[:, :, 3]
+    return packed, rows.astype(np.int32), cols.astype(np.int32)
+
+
+def unpack_codes2(packed: jax.Array, length: int, n_rows: jax.Array, n_cols: jax.Array) -> jax.Array:
+    """Device-side inverse of :func:`pack_codes2`; sideband entries padded
+    with out-of-range rows are dropped by the scatter."""
+    b = packed
+    c = jnp.stack([(b >> 6) & 3, (b >> 4) & 3, (b >> 2) & 3, b & 3], axis=-1)
+    c = c.reshape(b.shape[0], -1)[:, :length].astype(jnp.int8)
+    return c.at[n_rows, n_cols].set(jnp.int8(4), mode="drop")
+
+
 def rc_onehot(x: jax.Array) -> jax.Array:
     """Reverse complement of a one-hot batch: flip positions and channels
     (valid under AGCT channel order; reference expecto_utils.py:37)."""
@@ -147,6 +172,13 @@ class BelugaRunner:
 
         self._forward_spans = _forward_spans
 
+        @functools.partial(jax.jit, static_argnames=("offsets", "rc_mode", "span_len"))
+        def _forward_spans_packed2(params, packed, n_rows, n_cols, offsets, rc_mode, span_len):
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)
+            return _forward_spans(params, codes, offsets, rc_mode)
+
+        self._forward_spans_packed2 = _forward_spans_packed2
+
         @functools.partial(jax.jit, static_argnames=("offsets",))
         def _forward_spans_project(params, span_codes, pos_weights, offsets):
             x = onehot_from_codes(span_codes, dtype=compute_dtype)
@@ -159,6 +191,13 @@ class BelugaRunner:
             return feats.reshape(preds.shape[0], -1)
 
         self._forward_spans_project = _forward_spans_project
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
+        def _forward_spans_project_packed2(params, packed, n_rows, n_cols, pos_weights, offsets, span_len):
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)
+            return _forward_spans_project(params, codes, pos_weights, offsets)
+
+        self._forward_spans_project_packed2 = _forward_spans_project_packed2
 
         @functools.partial(jax.jit, static_argnames=("offsets",))
         def _score_spans(params, ref_spans, alt_spans, basis, W, bias, offsets):
@@ -185,15 +224,13 @@ class BelugaRunner:
 
         self._score_spans = _score_spans
 
-        @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
-        def _score_spans_packed(params, packed_ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
-            # Transfer-optimized + incremental serving: one 4-bit-packed span
-            # per variant; the alt span is spliced on device (alt_allele:
+        def _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
+            # Transfer-optimized + incremental serving: one packed span per
+            # variant; the alt span is spliced on device (alt_allele:
             # (N, A) codes, -1 keeps the reference base), and the alt conv
             # stack recomputes only the ~20 conv6 frames whose receptive
             # field covers the variant (ops/spans.conv6_phases_patch) — ~80%
             # of the alt allele's conv FLOPs are reused from ref.
-            ref = unpack_codes(packed_ref, span_len)
             a_len = alt_allele.shape[1]
             patch = jax.lax.dynamic_slice_in_dim(ref, mutpos, a_len, axis=1)
             patch = jnp.where(alt_allele >= 0, alt_allele.astype(jnp.int8), patch)
@@ -227,7 +264,19 @@ class BelugaRunner:
             ALT = feats(preds(ph_alt_f, ph_alt_r)) @ W + bias
             return REF, ALT
 
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
+        def _score_spans_packed(params, packed_ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
+            ref = unpack_codes(packed_ref, span_len)
+            return _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos)
+
         self._score_spans_packed = _score_spans_packed
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
+        def _score_spans_packed2(params, packed_ref, n_rows, n_cols, alt_allele, basis, W, bias, offsets, span_len, mutpos):
+            ref = unpack_codes2(packed_ref, span_len, n_rows, n_cols)
+            return _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos)
+
+        self._score_spans_packed2 = _score_spans_packed2
 
     def _run_pipelined(self, jobs, write):
         """Drain a stream of (start, real, device_result) with up to
@@ -269,6 +318,39 @@ class BelugaRunner:
         self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
         return out
 
+    #: per-chunk N-sideband budget; batches denser than this fall back to
+    #: wider packing (N-padded chromosome-edge consensus spans hit this)
+    PACK2_SIDE_BUDGET = 16384
+
+    def _pack2_plan(self, span_codes: np.ndarray, rows: int):
+        """2-bit packing plan for chunked span transfer, or None when the
+        batch is too N-dense for the sparse sideband."""
+        n = span_codes.shape[0]
+        packed, n_rows, n_cols = pack_codes2(span_codes)
+        starts = list(range(0, n, rows))
+        bounds = [
+            (np.searchsorted(n_rows, s), np.searchsorted(n_rows, min(s + rows, n)))
+            for s in starts
+        ]
+        max_ns = max((int(b - a) for a, b in bounds), default=0)
+        if max_ns > self.PACK2_SIDE_BUDGET:
+            return None
+        side = max(64, 1 << (max_ns - 1).bit_length()) if max_ns > 0 else 64
+        return packed, n_rows, n_cols, starts, bounds, side
+
+    def _pack2_chunks(self, plan, rows: int, n: int):
+        """Yield (start, real, packed_chunk, rows_local, cols_local) per chunk."""
+        packed, n_rows, n_cols, starts, bounds, side = plan
+        for start, (i0, i1) in zip(starts, bounds):
+            end = min(start + rows, n)
+            real = end - start
+            p_chunk = np.pad(packed[start:end], ((0, rows - real), (0, 0)))
+            r_local = np.full(side, rows, np.int32)  # out-of-range -> dropped
+            c_local = np.zeros(side, np.int32)
+            r_local[: i1 - i0] = n_rows[i0:i1] - start
+            c_local[: i1 - i0] = n_cols[i0:i1]
+            yield start, real, p_chunk, r_local, c_local
+
     def _span_batches(self, span_codes: np.ndarray, rows: int):
         n = span_codes.shape[0]
         for start in range(0, n, rows):
@@ -296,14 +378,24 @@ class BelugaRunner:
         span_codes = np.asarray(span_codes, dtype=np.int8)
         offsets = tuple(int(o) for o in offsets)
         n = span_codes.shape[0]
+        span_len = span_codes.shape[1]
         rows = self._span_rows(len(offsets))
         shape = (n, 2, len(offsets), 2002) if rc_mode == "concat" else (n, len(offsets), 2002)
         out = np.empty(shape, dtype=self.out_dtype)
+        plan = self._pack2_plan(span_codes, rows)
 
         def jobs():
-            for start, real, chunk in self._span_batches(span_codes, rows):
-                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-                yield start, real, self._forward_spans(self.params, dev, offsets, rc_mode)
+            if plan is not None:
+                for start, real, p_chunk, r_local, c_local in self._pack2_chunks(plan, rows, n):
+                    dev = jax.device_put(jnp.asarray(p_chunk), self._batch_sharding)
+                    yield start, real, self._forward_spans_packed2(
+                        self.params, dev, jnp.asarray(r_local), jnp.asarray(c_local),
+                        offsets, rc_mode, span_len,
+                    )
+            else:
+                for start, real, chunk in self._span_batches(span_codes, rows):
+                    dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                    yield start, real, self._forward_spans(self.params, dev, offsets, rc_mode)
 
         self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
         return out
@@ -316,13 +408,22 @@ class BelugaRunner:
         offsets = tuple(int(o) for o in offsets)
         pw = jnp.asarray(pos_weights)
         n = span_codes.shape[0]
+        span_len = span_codes.shape[1]
         rows = self._span_rows(len(offsets))
         out = np.empty((n, pos_weights.shape[0] * 2002), dtype=np.float32)
+        plan = self._pack2_plan(span_codes, rows)
 
         def jobs():
-            for start, real, chunk in self._span_batches(span_codes, rows):
-                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
-                yield start, real, self._forward_spans_project(self.params, dev, pw, offsets)
+            if plan is not None:
+                for start, real, p_chunk, r_local, c_local in self._pack2_chunks(plan, rows, n):
+                    dev = jax.device_put(jnp.asarray(p_chunk), self._batch_sharding)
+                    yield start, real, self._forward_spans_project_packed2(
+                        self.params, dev, jnp.asarray(r_local), jnp.asarray(c_local), pw, offsets, span_len
+                    )
+            else:
+                for start, real, chunk in self._span_batches(span_codes, rows):
+                    dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                    yield start, real, self._forward_spans_project(self.params, dev, pw, offsets)
 
         self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
         return out
@@ -387,10 +488,11 @@ class BelugaRunner:
         W: np.ndarray,
         bias: np.ndarray,
     ) -> tuple[np.ndarray, np.ndarray]:
-        """Transfer-optimized fused serving: ships one 4-bit-packed span per
-        variant plus (N, A) alt-allele codes; the alt span is spliced on
-        device at ``mutpos``. ~4x less host->device traffic than
-        :meth:`score_variant_spans`."""
+        """Transfer-optimized fused serving: ships one 2-bit-packed span per
+        variant (N bases in a sparse sideband) plus (N, A) alt-allele codes;
+        the alt span is spliced on device at ``mutpos``. ~8x less
+        host->device traffic than :meth:`score_variant_spans`. Falls back to
+        4-bit packing when the batch is pathologically N-dense."""
         ref_spans = np.asarray(ref_spans, dtype=np.int8)
         alt_alleles = np.asarray(alt_alleles, dtype=np.int8)
         offsets = tuple(int(o) for o in offsets)
@@ -401,27 +503,39 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
-        packed_all = pack_codes(ref_spans)
+
+        plan = self._pack2_plan(ref_spans, rows)
+        packed_all = None if plan is not None else pack_codes(ref_spans)
+
+        def _aux(start, real):
+            pad = rows - real
+            a_chunk = np.pad(alt_alleles[start : start + real], ((0, pad), (0, 0)), constant_values=-1)
+            b_chunk = np.pad(basis[:, start : start + real], ((0, 0), (0, pad), (0, 0)))
+            return a_chunk, (jnp.asarray(b_chunk), W_dev, bias_dev, offsets, span_len, int(mutpos))
 
         def jobs():
-            for start in range(0, n, rows):
-                end = min(start + rows, n)
-                real = end - start
-                pad = rows - real
-                p_chunk = np.pad(packed_all[start:end], ((0, pad), (0, 0)))
-                a_chunk = np.pad(alt_alleles[start:end], ((0, pad), (0, 0)), constant_values=-1)
-                b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
-                yield start, real, self._score_spans_packed(
-                    self.params,
-                    jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
-                    jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
-                    jnp.asarray(b_chunk),
-                    W_dev,
-                    bias_dev,
-                    offsets,
-                    span_len,
-                    int(mutpos),
-                )
+            if plan is not None:
+                for start, real, p_chunk, r_local, c_local in self._pack2_chunks(plan, rows, n):
+                    a_chunk, common = _aux(start, real)
+                    yield start, real, self._score_spans_packed2(
+                        self.params,
+                        jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
+                        jnp.asarray(r_local),
+                        jnp.asarray(c_local),
+                        jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                        *common,
+                    )
+            else:
+                for start in range(0, n, rows):
+                    real = min(start + rows, n) - start
+                    a_chunk, common = _aux(start, real)
+                    p_chunk = np.pad(packed_all[start : start + real], ((0, rows - real), (0, 0)))
+                    yield start, real, self._score_spans_packed(
+                        self.params,
+                        jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
+                        jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                        *common,
+                    )
 
         def write(s0, r0, pair):
             rr, aa = pair

@@ -110,3 +110,85 @@ def test_score_spans_packed_matches_unpacked(params):
     REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
+
+
+def test_packed2_codes_roundtrip():
+    from expecto_tpu.parallel.runner import pack_codes2, unpack_codes2
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    codes = rng.integers(0, 4, size=(3, 103), dtype=np.int8)
+    codes[0, 5] = 4
+    codes[2, 100] = 4
+    packed, rows, cols = pack_codes2(codes)
+    assert packed.shape == (3, 26)  # 2 bits/base
+    assert len(rows) == 2
+    out = np.asarray(unpack_codes2(jnp.asarray(packed), 103, jnp.asarray(rows), jnp.asarray(cols)))
+    np.testing.assert_array_equal(out, codes)
+    # padded out-of-range sideband entries are dropped
+    rows_p = np.concatenate([rows, [codes.shape[0]]]).astype(np.int32)
+    cols_p = np.concatenate([cols, [0]]).astype(np.int32)
+    out = np.asarray(unpack_codes2(jnp.asarray(packed), 103, jnp.asarray(rows_p), jnp.asarray(cols_p)))
+    np.testing.assert_array_equal(out, codes)
+
+
+def test_score_spans_packed_with_ns_matches_unpacked(params):
+    from expecto_tpu.parallel.runner import BelugaRunner
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.genome.windows import variant_shifts
+
+    maxshift = 400
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
+    mutpos = maxshift + 999
+    rng = np.random.default_rng(8)
+    n = 3
+    ref_spans = rng.integers(0, 4, size=(n, span_len), dtype=np.int8)
+    ref_spans[rng.random(ref_spans.shape) < 0.01] = 4  # sprinkle Ns
+    ref_spans[:, mutpos] = rng.integers(0, 4, n)
+    alt_alleles = ((ref_spans[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+    alt_spans = ref_spans.copy()
+    alt_spans[:, mutpos] = alt_alleles[:, 0]
+
+    basis = variant_basis(rng.integers(-5000, 5000, n), rng.choice(["+", "-"], n), shifts).astype(np.float32)
+    W = rng.standard_normal((20020, 4)).astype(np.float32) * 0.01
+    bias = rng.standard_normal(4).astype(np.float32)
+
+    runner = BelugaRunner(params, batch_size=64)
+    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
+
+
+def test_score_spans_packed_ndense_fallback(params):
+    # pathologically N-dense batches exceed the sideband budget and take the
+    # 4-bit fallback; results must be identical either way
+    from expecto_tpu.parallel.runner import BelugaRunner
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.genome.windows import variant_shifts
+
+    maxshift = 400
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
+    mutpos = maxshift + 999
+    rng = np.random.default_rng(9)
+    n = 12
+    ref_spans = rng.integers(0, 4, size=(n, span_len), dtype=np.int8)
+    ref_spans[rng.random(ref_spans.shape) < 0.6] = 4  # ~20k Ns per chunk
+    ref_spans[:, mutpos] = rng.integers(0, 4, n)
+    alt_alleles = ((ref_spans[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+    alt_spans = ref_spans.copy()
+    alt_spans[:, mutpos] = alt_alleles[:, 0]
+
+    basis = variant_basis(rng.integers(-5000, 5000, n), rng.choice(["+", "-"], n), shifts).astype(np.float32)
+    W = rng.standard_normal((20020, 4)).astype(np.float32) * 0.01
+    bias = rng.standard_normal(4).astype(np.float32)
+
+    runner = BelugaRunner(params, batch_size=256)
+    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
