@@ -192,3 +192,18 @@ def test_score_spans_packed_ndense_fallback(params):
     REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
+
+
+def test_predict_span_codes_pack2_equals_fallback(params, monkeypatch):
+    from expecto_tpu.parallel.runner import BelugaRunner
+
+    rng = np.random.default_rng(10)
+    spans = rng.integers(0, 4, size=(3, 2400), dtype=np.int8)
+    spans[rng.random(spans.shape) < 0.02] = 4
+    offsets = (0, 200, 400)
+
+    runner = BelugaRunner(params, batch_size=64)
+    got2 = runner.predict_span_codes(spans, offsets, rc_mode="average")
+    monkeypatch.setattr(BelugaRunner, "PACK2_SIDE_BUDGET", -1)  # force raw fallback
+    got_raw = runner.predict_span_codes(spans, offsets, rc_mode="average")
+    np.testing.assert_allclose(got2, got_raw, rtol=1e-6, atol=1e-6)
