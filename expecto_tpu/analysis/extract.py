@@ -164,11 +164,17 @@ def extract_consensus_dataset(
     targets_file: str | None = None,
     cell_type: str = "GM12878",
     progress: bool = False,
+    processes: int | None = None,
 ) -> list[str]:
     """Directory-level extraction driver (reference
     extract_lymphoblastoid_consensus_preds.py:16-117): selects the
     ``cell_type`` tracks of the chosen model, iterates eQTLs ('snp' mode) or
     genes ('tss'/'50_bins'), and writes per-gene(-SNP) prediction tables.
+
+    ``processes`` > 1 fans the basenji branch out over a multiprocessing
+    pool (the reference uses mp.Pool for it,
+    extract_lymphoblastoid_consensus_preds.py:68-73); the expecto branch
+    reads one h5 per gene and stays sequential.
     """
     import os
 
@@ -206,18 +212,30 @@ def extract_consensus_dataset(
     else:
         rows_df = genes_df
 
-    iterator = rows_df.iterrows()
+    import functools
+
+    bound = functools.partial(
+        worker, extract_mode=extract_mode, out_dir=out_dir,
+        track_idx=np.array(sel.index), track_ids=list(sel["ID"]), **kw,
+    )
+    rows = [row for _, row in rows_df.iterrows()]
+    if processes and processes > 1 and model == "basenji":
+        import multiprocessing as mp
+
+        # spawn: the parent may hold JAX/XLA threads, where fork can deadlock
+        with mp.get_context("spawn").Pool(processes) as pool:
+            it = pool.imap_unordered(bound, rows)
+            if progress:
+                from tqdm import tqdm
+
+                it = tqdm(it, total=len(rows))
+            return list(it)
+    iterator = rows
     if progress:
         from tqdm import tqdm
 
-        iterator = tqdm(iterator, total=rows_df.shape[0])
-    done = []
-    for _, row in iterator:
-        done.append(worker(
-            row, extract_mode=extract_mode, out_dir=out_dir,
-            track_idx=np.array(sel.index), track_ids=list(sel["ID"]), **kw,
-        ))
-    return done
+        iterator = tqdm(rows)
+    return [bound(row) for row in iterator]
 
 
 def extract_consensus_track_bins(

@@ -144,6 +144,8 @@ def main(argv=None) -> int:
     xd.add_argument("--n_center_bins", type=int, default=10,
                     help="accepted for parity; the reference parses but never uses it "
                          "(extract_lymphoblastoid_consensus_preds.py:20)")
+    xd.add_argument("--processes", type=int, default=None,
+                    help="mp.Pool size for the basenji branch (reference uses an unbounded Pool)")
     xd.add_argument("--out_dir", required=True)
 
     gp = sub.add_parser("make-profile", help="join a counts matrix onto the geneanno row order (resources/make_geneanno*.py)")
@@ -555,7 +557,7 @@ def main(argv=None) -> int:
             subset_genes_txt=args.subset_genes_txt,
             expecto_preds_dir=args.expecto_preds_dir, beluga_features_tsv=args.beluga_features_tsv,
             basenji_preds_dir=args.basenji_preds_dir, targets_file=args.targets_file,
-            cell_type=args.cell_type, progress=True,
+            cell_type=args.cell_type, progress=True, processes=args.processes,
         )
         print(f"extracted {len(done)} gene dirs to {args.out_dir}")
 

@@ -90,6 +90,18 @@ def conv6_frame_range(mutpos: int, ph: int) -> tuple[int, int]:
     return f_lo, max(f_hi, f_lo)
 
 
+def conv6_patch_ranges(mutpos: int, mut_len: int, phases, frame_counts: dict[int, int]) -> dict[int, tuple[int, int]]:
+    """{phase: [f_lo, f_hi)} conv6 frames affected by a mutation at
+    ``[mutpos, mutpos + mut_len)`` — the first base gives the lowest frame,
+    the last base the highest."""
+    ranges = {}
+    for ph in sorted(set(int(p) for p in phases)):
+        f_lo, _ = conv6_frame_range(mutpos, ph)
+        _, f_hi = conv6_frame_range(mutpos + mut_len - 1, ph)
+        ranges[ph] = (f_lo, min(f_hi, frame_counts[ph]))
+    return ranges
+
+
 def conv6_phases_patch(
     params: BelugaParams,
     ref_phases: dict[int, jax.Array],
@@ -111,14 +123,9 @@ def conv6_phases_patch(
     """
     span_len = alt_spans.shape[1]
     phases = sorted(set(int(p) for p in phases))
-    # union of affected frames over the mutated interval: the first base
-    # gives the lowest frame, the last base the highest
-    ranges = {}
-    for ph in phases:
-        f_lo, _ = conv6_frame_range(mutpos, ph)
-        _, f_hi = conv6_frame_range(mutpos + mut_len - 1, ph)
-        f_hi = min(f_hi, ref_phases[ph].shape[1])
-        ranges[ph] = (f_lo, f_hi)
+    ranges = conv6_patch_ranges(
+        mutpos, mut_len, phases, {ph: ref_phases[ph].shape[1] for ph in phases}
+    )
 
     # sub-span covering every phase's frames, 16-aligned
     in_lo = min(CONV6_STRIDE * ranges[ph][0] + 4 * ph for ph in phases)
@@ -142,15 +149,23 @@ def conv6_phases_patch(
     return out
 
 
-def fc_from_phases(
+def _window_starts_by_phase(offsets) -> dict[int, list[tuple[int, int]]]:
+    """{phase: [(output_index, start_frame), ...]} for the shift windows."""
+    per_phase: dict[int, list[tuple[int, int]]] = {}
+    for i, o in enumerate(int(o) for o in offsets):
+        ph = (o // 4) % 4
+        per_phase.setdefault(ph, []).append((i, (o // 4 - ph) // 4))
+    return per_phase
+
+
+def fc1_pre_from_phases(
     params: BelugaParams,
     phase_conv6: dict[int, jax.Array],
     offsets,
     *,
     precision=lax.Precision.HIGHEST,
-    logits: bool = False,
 ) -> jax.Array:
-    """Dense layers per window from the conv6 phase buffers.
+    """fc1 pre-activations (no bias/relu) per window: (N, n_offsets, 2003).
 
     When the window starts within a phase are uniformly strided (true for
     the standard 200-bp shift grids), fc1 runs as one strided valid conv
@@ -162,14 +177,9 @@ def fc_from_phases(
     dtype = next(iter(phase_conv6.values())).dtype
     fc1_w = params["fc1"]["w"].astype(dtype)
 
-    per_phase_starts: dict[int, list[tuple[int, int]]] = {}
-    for i, o in enumerate(offsets):
-        ph = (o // 4) % 4
-        per_phase_starts.setdefault(ph, []).append((i, (o // 4 - ph) // 4))
-
     h1_cols = [None] * len(offsets)
     fc1_kernel = fc1_w.reshape(106, -1, params["fc1"]["b"].shape[0])
-    for ph, items in per_phase_starts.items():
+    for ph, items in _window_starts_by_phase(offsets).items():
         starts = [s for _, s in items]
         order = sorted(range(len(starts)), key=lambda j: starts[j])
         s_sorted = [starts[j] for j in order]
@@ -188,13 +198,78 @@ def fc_from_phases(
             for (i, s) in items:
                 win = lax.slice_in_dim(buf, s, s + 106, axis=1).reshape(n, -1)
                 h1_cols[i] = jnp.dot(win, fc1_w, precision=precision)
-    h = jnp.stack(h1_cols, axis=1)  # (N, n_offsets, 2003)
-    h = jax.nn.relu(h + params["fc1"]["b"].astype(dtype))
+    return jnp.stack(h1_cols, axis=1)  # (N, n_offsets, 2003)
+
+
+def fc1_delta_from_phases(
+    params: BelugaParams,
+    ref_phases: dict[int, jax.Array],
+    alt_phases: dict[int, jax.Array],
+    patch_ranges: dict[int, tuple[int, int]],
+    offsets,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> jax.Array:
+    """Incremental fc1: the (N, n_offsets, 2003) pre-activation *delta*
+    between alt and ref phase buffers that differ only inside
+    ``patch_ranges`` (fc1 is linear before relu, so
+    ``fc1_pre(alt) == fc1_pre(ref) + delta`` exactly). Cost is proportional
+    to the ~20 patched conv6 frames instead of the full 106-frame windows.
+    """
+    offsets = [int(o) for o in offsets]
+    n = next(iter(ref_phases.values())).shape[0]
+    dtype = next(iter(ref_phases.values())).dtype
+    fc1_kernel = params["fc1"]["w"].astype(dtype).reshape(106, -1, params["fc1"]["b"].shape[0])
+
+    cols = [None] * len(offsets)
+    for ph, items in _window_starts_by_phase(offsets).items():
+        f_lo, f_hi = patch_ranges[ph]
+        if f_hi <= f_lo:
+            continue
+        diff = (
+            lax.slice_in_dim(alt_phases[ph], f_lo, f_hi, axis=1)
+            - lax.slice_in_dim(ref_phases[ph], f_lo, f_hi, axis=1)
+        )  # (N, P, 640)
+        for (i, s) in items:
+            a = max(f_lo, s)
+            b = min(f_hi, s + 106)
+            if b <= a:
+                continue
+            d = lax.slice_in_dim(diff, a - f_lo, b - f_lo, axis=1).reshape(n, -1)
+            k = fc1_kernel[a - s : b - s].reshape(-1, fc1_kernel.shape[-1])
+            cols[i] = jnp.dot(d, k, precision=precision)
+    zero = jnp.zeros((n, fc1_kernel.shape[-1]), dtype)
+    return jnp.stack([c if c is not None else zero for c in cols], axis=1)
+
+
+def fc_head(
+    params: BelugaParams,
+    h1_pre: jax.Array,
+    *,
+    precision=lax.Precision.HIGHEST,
+    logits: bool = False,
+) -> jax.Array:
+    """bias + relu + fc2 + sigmoid over (N, n_offsets, 2003) fc1 pre-acts."""
+    dtype = h1_pre.dtype
+    h = jax.nn.relu(h1_pre + params["fc1"]["b"].astype(dtype))
     out = (
         jnp.einsum("nok,km->nom", h, params["fc2"]["w"].astype(dtype), precision=precision)
         + params["fc2"]["b"].astype(dtype)
     )
     return out if logits else jax.nn.sigmoid(out)
+
+
+def fc_from_phases(
+    params: BelugaParams,
+    phase_conv6: dict[int, jax.Array],
+    offsets,
+    *,
+    precision=lax.Precision.HIGHEST,
+    logits: bool = False,
+) -> jax.Array:
+    """Dense layers per window from the conv6 phase buffers."""
+    h1 = fc1_pre_from_phases(params, phase_conv6, offsets, precision=precision)
+    return fc_head(params, h1, precision=precision, logits=logits)
 
 
 def beluga_forward_spans(

@@ -29,7 +29,16 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
-from ..ops.spans import beluga_forward_spans, conv6_phases, conv6_phases_patch, fc_from_phases
+from ..ops.spans import (
+    beluga_forward_spans,
+    conv6_patch_ranges,
+    conv6_phases,
+    conv6_phases_patch,
+    fc1_delta_from_phases,
+    fc1_pre_from_phases,
+    fc_head,
+    fc_from_phases,
+)
 from ..utils.compile_cache import enable_compile_cache
 from .mesh import DATA_AXIS, get_mesh
 
@@ -251,17 +260,28 @@ class BelugaRunner:
                 params, ph_ref_r, x_alt[:, ::-1, ::-1], mut_rc, a_len, phases_r, precision=precision
             )
 
-            def preds(ph_fwd, ph_rc):
-                y = fc_from_phases(params, ph_fwd, offsets, precision=precision).astype(jnp.float32)
-                y_rc = fc_from_phases(params, ph_rc, rc_offsets, precision=precision).astype(jnp.float32)
+            # fc1 is linear pre-relu, so the alt windows' pre-activations are
+            # ref's plus a delta over only the ~20 patched conv6 frames
+            # (ops/spans.fc1_delta_from_phases) — the ref fc1 conv runs once
+            # per orientation instead of twice.
+            ranges_f = conv6_patch_ranges(mutpos, a_len, phases_f, {p: ph_ref_f[p].shape[1] for p in ph_ref_f})
+            ranges_r = conv6_patch_ranges(mut_rc, a_len, phases_r, {p: ph_ref_r[p].shape[1] for p in ph_ref_r})
+            h_ref_f = fc1_pre_from_phases(params, ph_ref_f, offsets, precision=precision)
+            h_ref_r = fc1_pre_from_phases(params, ph_ref_r, rc_offsets, precision=precision)
+            d_f = fc1_delta_from_phases(params, ph_ref_f, ph_alt_f, ranges_f, offsets, precision=precision)
+            d_r = fc1_delta_from_phases(params, ph_ref_r, ph_alt_r, ranges_r, rc_offsets, precision=precision)
+
+            def preds(h_fwd, h_rc):
+                y = fc_head(params, h_fwd, precision=precision).astype(jnp.float32)
+                y_rc = fc_head(params, h_rc, precision=precision).astype(jnp.float32)
                 return (y + y_rc) * 0.5
 
             def feats(p):
                 f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(preds(ph_ref_f, ph_ref_r)) @ W + bias
-            ALT = feats(preds(ph_alt_f, ph_alt_r)) @ W + bias
+            REF = feats(preds(h_ref_f, h_ref_r)) @ W + bias
+            ALT = feats(preds(h_ref_f + d_f, h_ref_r + d_r)) @ W + bias
             return REF, ALT
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))

@@ -492,3 +492,30 @@ class TestExtractDatasetCLI:
         assert rc == 0
         out = pd.read_csv(tmp_path / "out" / "hla-b" / "basenji_preds.csv", index_col=0)
         assert out.shape == (2, 1) and list(out.index) == ["NA0", "NA1"]
+
+    def test_basenji_mp_pool(self, tmp_path):
+        import h5py
+
+        self._tables(tmp_path)
+        rng = np.random.default_rng(6)
+        d = tmp_path / "basenji" / "hla-b" / "all_bins_per_sample"
+        d.mkdir(parents=True)
+        for s in ("NA0", "NA1"):
+            with h5py.File(d / f"{s}.h5", "w") as f:
+                f.create_dataset("all_preds", data=rng.normal(size=(896, 8)).astype(np.float32))
+        tf = tmp_path / "targets.tsv"
+        rows = ["\t".join(["index", "identifier", "description"])]
+        for i in range(8):
+            rows.append("\t".join([str(i), f"CNhs{i}", "CAGE:GM12878" if i == 1 else "CAGE:K562"]))
+        tf.write_text("\n".join(rows) + "\n")
+        from expecto_tpu.analysis.extract import extract_consensus_dataset
+
+        done = extract_consensus_dataset(
+            model="basenji", extract_mode="tss", out_dir=str(tmp_path / "out"),
+            eqtls_csv=str(tmp_path / "eqtls.csv"), genes_csv=str(tmp_path / "genes.csv"),
+            basenji_preds_dir=str(tmp_path / "basenji"), targets_file=str(tf),
+            processes=2,
+        )
+        assert len(done) == 1
+        out = pd.read_csv(tmp_path / "out" / "hla-b" / "basenji_preds.csv", index_col=0)
+        assert out.shape == (2, 1)

@@ -202,3 +202,36 @@ class TestIncrementalPatch:
         got = np.asarray(fc_from_phases(params, patched, offsets))
         want = np.asarray(beluga_forward_spans(params, alt, offsets))
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+def test_fc1_delta_identity(params):
+    # fc1_pre(alt) == fc1_pre(ref) + fc1_delta for buffers differing only in
+    # the patched frame range (fc1 is linear before relu)
+    import jax.numpy as jnp
+
+    from expecto_tpu.ops.spans import (
+        conv6_patch_ranges,
+        fc1_delta_from_phases,
+        fc1_pre_from_phases,
+    )
+
+    rng = np.random.default_rng(11)
+    offsets = (0, 200, 400, 600, 800)
+    phases = {(o // 4) % 4 for o in offsets}
+    n, frames = 2, 160
+    ref_ph = {p: jnp.asarray(rng.standard_normal((n, frames, 640)), jnp.float32) for p in phases}
+    mutpos, a_len = 1399, 1
+    ranges = conv6_patch_ranges(mutpos, a_len, phases, {p: frames for p in phases})
+    alt_ph = {}
+    for p in phases:
+        f_lo, f_hi = ranges[p]
+        buf = np.asarray(ref_ph[p]).copy()
+        buf[:, f_lo:f_hi] += rng.standard_normal((n, f_hi - f_lo, 640)).astype(np.float32)
+        alt_ph[p] = jnp.asarray(buf)
+
+    h_ref = fc1_pre_from_phases(params, ref_ph, offsets)
+    h_alt = fc1_pre_from_phases(params, alt_ph, offsets)
+    delta = fc1_delta_from_phases(params, ref_ph, alt_ph, ranges, offsets)
+    np.testing.assert_allclose(np.asarray(h_ref + delta), np.asarray(h_alt), rtol=2e-4, atol=2e-4)
+    # windows not overlapping the patch must have exactly zero delta
+    assert np.asarray(jnp.abs(delta)).max() > 0
