@@ -106,3 +106,20 @@ def test_runner_sharded_over_mesh(oracle_and_params):
     r1 = BelugaRunner(params, batch_size=16, mesh=get_mesh(8))
     r2 = BelugaRunner(params, batch_size=16, mesh=get_mesh(1))
     np.testing.assert_allclose(r1.predict_codes(codes), r2.predict_codes(codes), atol=2e-6, rtol=1e-5)
+
+
+def test_rc_averaged_forward_is_rc_invariant(oracle_and_params):
+    """Property (SURVEY §4): the fwd/RC-averaged prediction of a window
+    equals that of its reverse complement — the averaging makes downstream
+    features strand-symmetric."""
+    from expecto_tpu.genome.encode import reverse_complement_codes, seqs_to_codes
+    from expecto_tpu.parallel.runner import BelugaRunner
+
+    _, params = oracle_and_params
+    rng = np.random.default_rng(13)
+    seqs = ["".join(rng.choice(list("ACGT"), size=2000)) for _ in range(3)]
+    codes = seqs_to_codes(seqs, 2000)
+    runner = BelugaRunner(params, batch_size=16)
+    fwd = runner.predict_codes(codes, average_rc=True)
+    rc = runner.predict_codes(reverse_complement_codes(codes), average_rc=True)
+    np.testing.assert_allclose(fwd, rc, rtol=1e-5, atol=1e-6)
