@@ -33,7 +33,9 @@ def fit_feature_clustering(X: np.ndarray, *, with_distances: bool = False, cache
     from sklearn.cluster import AgglomerativeClustering
 
     if with_distances:
-        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None)
+        # memory=cache_dir so the mandatory re-cut (cut_feature_clustering)
+        # reuses the tree instead of recomputing the full linkage
+        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None, memory=cache_dir)
     else:
         est = AgglomerativeClustering(compute_full_tree=True, memory=cache_dir)
     return est.fit(X.T)
@@ -70,7 +72,7 @@ def fit_mark_clustering(X: np.ndarray, n_basis: int = 10, *, with_distances: boo
     from sklearn.cluster import AgglomerativeClustering
 
     if with_distances:
-        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None)
+        est = AgglomerativeClustering(distance_threshold=0, n_clusters=None, memory=cache_dir)
     else:
         est = AgglomerativeClustering(compute_full_tree=True, memory=cache_dir)
     return est.fit(_grouped_mark_matrix(X, n_basis))

@@ -57,7 +57,9 @@ def _load_gene_tables(eqtls_csv: str, genes_csv: str, subset_genes_txt: str | No
     (extract_lymphoblastoid_consensus_preds.py:46-63)."""
     import pandas as pd
 
-    eqtls_df = pd.read_csv(eqtls_csv, index_col=0).set_index("name")
+    eqtls_df = pd.read_csv(eqtls_csv, index_col=0)
+    # lowercase to match the gene index and the lowercase per-gene h5 dirs
+    eqtls_df = eqtls_df.set_index(eqtls_df["name"].str.lower())
     genes_df = pd.read_csv(genes_csv, names=["ens_id", "chrom", "bp", "gene_symbol", "strand"], index_col=False)
     genes_df["name"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"]).str.lower()
     genes_df = genes_df.set_index("name")
@@ -139,10 +141,11 @@ def _extract_basenji_gene(row, *, extract_mode, out_dir, basenji_preds_dir, trac
                 out_df.loc[Path(sample_file).stem, :] = gene_h5["all_preds"][target_bin, :][track_idx]
         out_df.to_csv(f"{preds_out_dir}/basenji_preds.csv")
     else:
-        all_preds = np.empty((len(sample_files), 101, len(track_idx)), dtype=np.float16)
+        lo = max(target_bin - 50, 0)
+        all_preds = np.empty((len(sample_files), 101 - (lo - (target_bin - 50)), len(track_idx)), dtype=np.float16)
         for i, sample_file in enumerate(sample_files):
             with h5py.File(sample_file, "r") as gene_h5:
-                all_preds[i] = gene_h5["all_preds"][target_bin - 50 : target_bin + 51, :][:, track_idx]
+                all_preds[i] = gene_h5["all_preds"][lo : target_bin + 51, :][:, track_idx]
         with h5py.File(f"{preds_out_dir}/basenji_gm12878_preds.h5", "w") as f:
             f.create_dataset("all_preds", data=all_preds, compression="gzip", compression_opts=9)
             f.create_dataset("sample_names", data=np.array(sample_names, dtype="S"))
@@ -204,8 +207,10 @@ def extract_consensus_dataset(
         raise AssertionError(f"model {model} not recognized")
 
     if extract_mode == "snp":
-        merged = pd.merge(eqtls_df, genes_df, left_index=True, right_index=True, how="left")
-        eqtls_df["strand"] = merged["strand"]
+        # index.map tolerates duplicate gene symbols in the annotation
+        # (patch/alt contigs) where a merge-then-assign would fail to reindex
+        strand_by_gene = genes_df.loc[~genes_df.index.duplicated(), "strand"]
+        eqtls_df["strand"] = eqtls_df.index.map(strand_by_gene)
         if not set(eqtls_df["strand"]).issubset({"+", "-"}):
             raise AssertionError("Strand not found for all eqtls")
         rows_df = eqtls_df

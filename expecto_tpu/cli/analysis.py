@@ -317,14 +317,12 @@ def main(argv=None) -> int:
         if args.belugaFeatures:
             # per-mark tables as in cluster_and_viz.py:74-103 (ablations mirror
             # the mask used when the embedding was built)
+            from ..utils.keep_mask import get_keep_mask
+
             features_df = load_beluga_features(args.belugaFeatures)
-            mask = np.ones(features_df.shape[0], dtype=bool)
-            if args.no_tf_features:
-                mask &= (features_df["Assay type"] != "TF").values
-            if args.no_dnase_features:
-                mask &= (features_df["Assay type"] != "DNase").values
-            if args.no_histone_features:
-                mask &= (features_df["Assay type"] != "Histone").values
+            mask = np.asarray(get_keep_mask(
+                features_df, args.no_tf_features, args.no_dnase_features, args.no_histone_features
+            ))
             table = features_df[mask].copy()
             if table.shape[0] != len(labels):
                 print(f"belugaFeatures mask rows ({table.shape[0]}) != embedding rows ({len(labels)})", file=sys.stderr)

@@ -30,6 +30,8 @@ def main(argv=None) -> int:
     p.add_argument("--no_histone_features", action="store_true")
     p.add_argument("--intersect_with_lambert", action="store_true")
     p.add_argument("--no_pol2", action="store_true")
+    p.add_argument("--lambert_hgnc", default=None, help="required with --intersect_with_lambert")
+    p.add_argument("--hgnc_mapping", default=None, help="required with --intersect_with_lambert")
     p.add_argument("-o", dest="out_dir", default="predict_by_cluster_out")
     args = p.parse_args(argv)
 
@@ -51,12 +53,16 @@ def main(argv=None) -> int:
         [args.no_tf_features, args.no_dnase_features, args.no_histone_features,
          args.intersect_with_lambert, args.no_pol2]
     ):
+        if args.intersect_with_lambert and not (args.lambert_hgnc and args.hgnc_mapping):
+            print("--intersect_with_lambert requires --lambert_hgnc and --hgnc_mapping", file=sys.stderr)
+            return 2
         from ..io.tables import load_beluga_features as _lbf
 
         keep_mask = np.asarray(get_keep_mask(
             _lbf(args.belugaFeatures),
             args.no_tf_features, args.no_dnase_features, args.no_histone_features,
             args.intersect_with_lambert, args.no_pol2,
+            lambert_hgnc_path=args.lambert_hgnc, hgnc_mapping_path=args.hgnc_mapping,
         ))
 
     if args.rsat_clusters_tab:

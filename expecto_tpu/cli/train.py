@@ -109,6 +109,7 @@ def main(argv=None) -> int:
             metrics_path=os.path.join(args.output_dir, "metrics.h5"),
             vectorized=args.vectorized,
             params=hp, filter_str=args.filterStr, pseudocount=args.pseudocount,
+            extra_filter=extra_filter,
             **({} if args.vectorized else {"keep_mask": keep_mask}),
         )
         for name, res in results.items():
@@ -122,7 +123,7 @@ def main(argv=None) -> int:
             seeds=list(range(args.bootstrap_seeds)),
             output_dir=args.output_dir,
             params=hp, filter_str=args.filterStr, pseudocount=args.pseudocount,
-            keep_mask=keep_mask,
+            keep_mask=keep_mask, extra_filter=extra_filter,
         )
         rhos = np.array([r.spearman for r in results])
         print(f"trained {len(results)} bootstrap models; spearman mean {np.nanmean(rhos):.4f} sd {np.nanstd(rhos):.4f}")

@@ -307,6 +307,11 @@ def predict_consensus_for_top_eqtls(
             tss_i = len(seq) // 2
             use_shifts = gene_shifts() if shifts is None else shifts
             starts = [tss_i + s * sgn - 999 for s in use_shifts]
+            if min(starts) < 0 or max(starts) + 2000 > len(seq):
+                raise AssertionError(
+                    f"consensus record {rec_id} is too short ({len(seq)} bp) for the "
+                    f"receptive-field span [{min(starts)}, {max(starts) + 2000})"
+                )
             span_seqs.append(seq[min(starts) : max(starts) + 2000])
         preds = _predict_consensus_preds(runner, seqs_and_strands, shifts)
         feats = _match_features(consensus_features(preds, shifts), bst)

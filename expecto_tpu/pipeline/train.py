@@ -167,6 +167,7 @@ def train_bootstrap(
     pseudocount = kwargs.pop("pseudocount", 1e-4)
     keep_mask = kwargs.pop("keep_mask", None)
     n_tracks = kwargs.pop("n_tracks", 2002)
+    extra_filter = kwargs.pop("extra_filter", None)
     if kwargs:
         raise TypeError(f"unsupported kwargs for vectorized bootstrap: {sorted(kwargs)}")
 
@@ -175,6 +176,8 @@ def train_bootstrap(
         X = subset_features_by_mask(X, keep_mask, n_tracks=n_tracks)
     labels = np.log(np.asarray(expression, dtype=np.float64) + pseudocount)
     filt = gene_filter(geneanno, filter_str) & np.isfinite(labels)
+    if extra_filter is not None:
+        filt = filt & np.asarray(extra_filter)
     trainind, testind = chromosome_split(geneanno)
     tr = np.nonzero(trainind & filt)[0]
     te = np.nonzero(testind & filt)[0]
@@ -229,10 +232,13 @@ def train_all_tissues(
         hp = kwargs.pop("params", None) or GBLinearParams()
         filter_str = kwargs.pop("filter_str", "all")
         pseudocount = kwargs.pop("pseudocount", 1e-4)
+        extra_filter = kwargs.pop("extra_filter", None)
         if kwargs:
             raise TypeError(f"unsupported kwargs for vectorized sweep: {sorted(kwargs)}")
         Y = np.log(expression_df.iloc[:, indices].values.astype(np.float64) + pseudocount)
         filt = gene_filter(geneanno, filter_str) & np.isfinite(Y).all(axis=1)
+        if extra_filter is not None:
+            filt = filt & np.asarray(extra_filter)
         trainind, testind = chromosome_split(geneanno)
         tr = trainind & filt
         te = testind & filt

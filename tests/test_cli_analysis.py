@@ -416,8 +416,10 @@ class TestExtractDatasetCLI:
         return preds
 
     def _tables(self, tmp_path, gene="hla-b", tss=100000):
+        # eqtl names arrive uppercase in the real tables; the driver must
+        # lowercase them to match gene dirs and the annotation index
         pd.DataFrame({
-            "name": [gene], "SNP_ID": ["rs1"], "SNPpos": [tss + 100], "TSSpos_x": [tss],
+            "name": [gene.upper()], "SNP_ID": ["rs1"], "SNPpos": [tss + 100], "TSSpos_x": [tss],
         }).to_csv(tmp_path / "eqtls.csv")
         pd.DataFrame([["ENSG1", "chr6", tss, gene.upper(), "+"]]).to_csv(
             tmp_path / "genes.csv", header=False, index=False

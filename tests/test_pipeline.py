@@ -412,3 +412,32 @@ class TestLegacyModelScoring:
         basis = variant_basis(dist, strand, variant_shifts(800))
         feats = pad_legacy_20030(project_features(basis, effects["diff"]))
         np.testing.assert_allclose(df["legacy.save"].values, -(feats @ legacy.weight), rtol=1e-4, atol=1e-7)
+
+
+def test_sweeps_honor_extra_filter():
+    # --kidney_genes_only style extra gene filters must reach both
+    # vectorized sweep paths (review finding: they were silently dropped)
+    from expecto_tpu.models.gblinear import GBLinearParams
+    from expecto_tpu.pipeline.train import train_bootstrap, train_all_tissues
+
+    rng = np.random.default_rng(21)
+    n = 160
+    X = rng.normal(size=(n, 10)).astype(np.float32)
+    expr = np.exp(rng.normal(size=n))
+    geneanno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "seqnames": rng.choice(["chr1", "chr8"], size=n, p=[0.8, 0.2]),
+        "type": ["protein_coding"] * n,
+    })
+    extra = np.ones(n, bool)
+    extra[:80] = False
+    hp = GBLinearParams(num_round=5)
+
+    full = train_bootstrap(X, geneanno, expr, seeds=[0], params=hp, vectorized=True)
+    filt = train_bootstrap(X, geneanno, expr, seeds=[0], params=hp, vectorized=True, extra_filter=extra)
+    assert not np.allclose(full[0].model.weight, filt[0].model.weight)
+
+    expr_df = pd.DataFrame({"gene": geneanno["id"], "t1": expr})
+    full_t = train_all_tissues(X, geneanno, expr_df, params=hp, vectorized=True)
+    filt_t = train_all_tissues(X, geneanno, expr_df, params=hp, vectorized=True, extra_filter=extra)
+    assert not np.allclose(full_t["t1"].model.weight, filt_t["t1"].model.weight)
