@@ -46,14 +46,14 @@ def _conv_kernel(*refs):
     out_ref[0, :, :] = y.astype(out_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("cout_tile", "interpret"))
-def conv8_relu(x: jax.Array, w: jax.Array, b: jax.Array, *, cout_tile: int = 128, interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def conv8_relu(x: jax.Array, w: jax.Array, b: jax.Array, *, interpret: bool = False) -> jax.Array:
     """(N, L, Cin) x (8, Cin, Cout) -> relu(conv_valid + b), (N, L-7, Cout).
 
     Matches ``lax.conv_general_dilated(..., 'VALID', NWC/WIO)`` + bias +
-    relu. ``cout_tile`` must divide Cout (Beluga's 320/480/640 are all
-    multiples of 32; the default 128-lane tile divides none of them evenly,
-    so 160 is used when 128 doesn't divide).
+    relu. The grid tiles the output length; Cout stays whole per block
+    (Beluga's 320/480/640 all fit VMEM alongside an l_tile x Cout fp32
+    accumulator).
     """
     n, l, cin = x.shape
     kw, _, cout = w.shape

@@ -35,19 +35,13 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from ..models.beluga import BelugaParams
+from ..models.beluga import BelugaParams, _conv_relu
 
 #: conv6 frame f (phase ph) reads span inputs [16f + 4ph, 16f + 4ph + RF)
 CONV6_RF = 310
 CONV6_STRIDE = 16
 
 
-def _conv_relu(x, p, precision):
-    y = lax.conv_general_dilated(
-        x, p["w"].astype(x.dtype), (1,), "VALID",
-        dimension_numbers=("NWC", "WIO", "NWC"), precision=precision,
-    )
-    return jax.nn.relu(y + p["b"].astype(x.dtype))
 
 
 def _pool4_from(x, phase: int):
@@ -281,7 +275,7 @@ def beluga_forward_spans(
     window_len: int = 2000,
     logits: bool = False,
 ) -> jax.Array:
-    """Forward over windows ``spans[:, o : o+window_len, :]`` for each offset.
+    """Forward over 2,000-bp windows ``spans[:, o : o+2000, :]`` per offset.
 
     Args:
         spans: (N, span_len, 4) one-hot spans.
@@ -292,6 +286,8 @@ def beluga_forward_spans(
         (N, n_offsets, 2002) track probabilities, matching
         ``beluga_forward`` applied per window.
     """
+    if window_len != 2000:
+        raise ValueError("beluga_forward_spans supports only the model's 2000-bp windows (fc1 consumes 106 conv6 frames)")
     offsets = [int(o) for o in offsets]
     for o in offsets:
         if o % 4 != 0:
@@ -301,7 +297,7 @@ def beluga_forward_spans(
     return fc_from_phases(params, phase_conv6, offsets, precision=precision, logits=logits)
 
 
-def span_offsets_for_shifts(shifts, *, stride_origin: int | None = None) -> tuple[list[int], int]:
+def span_offsets_for_shifts(shifts) -> tuple[list[int], int]:
     """Map a shift enumeration to (window offsets within the span, span_len
     extra) — offset of shift s = s - min(shifts)."""
     shifts = [int(s) for s in shifts]

@@ -50,11 +50,16 @@ def list_shards(path: str) -> list[str]:
     if os.path.exists(path):
         return [path]
     stem, ext = os.path.splitext(path)
-    files = sorted(glob.glob(f"{stem}.shard*-of-*{ext}"))
+    files = []
+    expected = None
+    for fpath in sorted(glob.glob(f"{stem}.shard*-of-*{ext}")):
+        m = re.search(r"shard\d{5}-of-(\d{5})", fpath)
+        if m is None:
+            continue  # hand-named stragglers don't belong to this shard set
+        files.append(fpath)
+        expected = int(m.group(1))
     if not files:
         return []
-    m = re.search(r"shard\d{5}-of-(\d{5})", files[0])
-    expected = int(m.group(1))
     if len(files) != expected:
         raise AssertionError(f"expected {expected} shards for {path}, found {len(files)}")
     return files
@@ -69,14 +74,29 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
     out_path = out_path or path
     if shards == [path]:
         return path
-    datasets: dict[str, list[np.ndarray]] = {}
+    # stream shard-by-shard into preallocated datasets: peak memory is one
+    # shard, not 2x the merged file (shift h5s run to multiple GB)
+    shapes: dict[str, tuple] = {}
+    dtypes: dict[str, np.dtype] = {}
     for s in shards:
         with h5py.File(s, "r") as f:
             for name in f:
-                datasets.setdefault(name, []).append(np.asarray(f[name]))
-    with h5py.File(out_path, "w") as f:
-        for name, parts in datasets.items():
-            f.create_dataset(name, data=np.concatenate(parts, axis=0))
+                shape, dtype = f[name].shape, f[name].dtype
+                if name in shapes:
+                    if shapes[name][1:] != shape[1:]:
+                        raise AssertionError(f"shard dataset {name} trailing shape mismatch")
+                    shapes[name] = (shapes[name][0] + shape[0],) + shape[1:]
+                else:
+                    shapes[name], dtypes[name] = shape, dtype
+    with h5py.File(out_path, "w") as out:
+        dsets = {name: out.create_dataset(name, shape=shapes[name], dtype=dtypes[name]) for name in shapes}
+        offsets = {name: 0 for name in shapes}
+        for s in shards:
+            with h5py.File(s, "r") as f:
+                for name in f:
+                    n = f[name].shape[0]
+                    dsets[name][offsets[name] : offsets[name] + n] = f[name][...]
+                    offsets[name] += n
     if delete_shards:
         for s in shards:
             os.remove(s)

@@ -54,10 +54,25 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0) -> tuple[np.nda
     return np.pad(x, pad), n
 
 
+def local_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """1-D mesh over this process's addressable devices. In multi-host runs
+    the engine shards each host's own row range over its local devices
+    (parallel/dist.py) — host-local inputs and np fetches require an
+    addressable mesh, not the global one."""
+    return Mesh(np.array(jax.local_devices()), (axis,))
+
+
 def maybe_initialize_distributed() -> None:
     """Initialize the multi-host runtime when launched under a multi-process
-    coordinator (no-op in single-process runs)."""
+    coordinator (no-op in single-process runs).
+
+    Decides from the environment alone: calling jax.process_count() (or any
+    backend query) first would initialize the local backend and make
+    jax.distributed.initialize() raise — it must run before first backend
+    use."""
     import os
 
-    if "JAX_COORDINATOR_ADDRESS" in os.environ and jax.process_count() == 1:
+    if jax._src.distributed.global_state.client is not None:
+        return  # already initialized
+    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()

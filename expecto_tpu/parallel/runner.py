@@ -40,7 +40,7 @@ from ..ops.spans import (
     fc_from_phases,
 )
 from ..utils.compile_cache import enable_compile_cache
-from .mesh import DATA_AXIS, get_mesh
+from .mesh import DATA_AXIS, local_mesh
 
 
 def onehot_from_codes(codes: jax.Array, dtype=jnp.float32) -> jax.Array:
@@ -122,7 +122,7 @@ class BelugaRunner:
         pipeline_depth: int = 4,
     ):
         enable_compile_cache()
-        self.mesh = mesh or get_mesh()
+        self.mesh = mesh or local_mesh()  # addressable devices: host-local inputs/fetches
         n_dev = self.mesh.devices.size
         self.batch_size = -(-batch_size // n_dev) * n_dev
         self.compute_dtype = compute_dtype
@@ -311,13 +311,7 @@ class BelugaRunner:
             write(*job)
 
     def _batches(self, codes: np.ndarray):
-        n = codes.shape[0]
-        for start in range(0, n, self.batch_size):
-            chunk = codes[start : start + self.batch_size]
-            real = chunk.shape[0]
-            if real != self.batch_size:
-                chunk = np.pad(chunk, ((0, self.batch_size - real), (0, 0)))
-            yield start, real, chunk
+        return self._span_batches(codes, self.batch_size)
 
     def predict_codes(self, codes: np.ndarray, *, average_rc: bool = False) -> np.ndarray:
         """Run Beluga over int8 base codes (N, 2000) -> (N, 2002).
@@ -332,7 +326,7 @@ class BelugaRunner:
 
         def jobs():
             for start, real, chunk in self._batches(codes):
-                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                dev = jax.device_put(chunk, self._batch_sharding)
                 yield start, real, self._forward(self.params, dev, with_rc=average_rc)
 
         self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
@@ -407,14 +401,14 @@ class BelugaRunner:
         def jobs():
             if plan is not None:
                 for start, real, p_chunk, r_local, c_local in self._pack2_chunks(plan, rows, n):
-                    dev = jax.device_put(jnp.asarray(p_chunk), self._batch_sharding)
+                    dev = jax.device_put(p_chunk, self._batch_sharding)
                     yield start, real, self._forward_spans_packed2(
                         self.params, dev, jnp.asarray(r_local), jnp.asarray(c_local),
                         offsets, rc_mode, span_len,
                     )
             else:
                 for start, real, chunk in self._span_batches(span_codes, rows):
-                    dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                    dev = jax.device_put(chunk, self._batch_sharding)
                     yield start, real, self._forward_spans(self.params, dev, offsets, rc_mode)
 
         self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
@@ -436,13 +430,13 @@ class BelugaRunner:
         def jobs():
             if plan is not None:
                 for start, real, p_chunk, r_local, c_local in self._pack2_chunks(plan, rows, n):
-                    dev = jax.device_put(jnp.asarray(p_chunk), self._batch_sharding)
+                    dev = jax.device_put(p_chunk, self._batch_sharding)
                     yield start, real, self._forward_spans_project_packed2(
                         self.params, dev, jnp.asarray(r_local), jnp.asarray(c_local), pw, offsets, span_len
                     )
             else:
                 for start, real, chunk in self._span_batches(span_codes, rows):
-                    dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                    dev = jax.device_put(chunk, self._batch_sharding)
                     yield start, real, self._forward_spans_project(self.params, dev, pw, offsets)
 
         self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
@@ -482,8 +476,8 @@ class BelugaRunner:
                 b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
                 yield start, real, self._score_spans(
                     self.params,
-                    jax.device_put(jnp.asarray(r_chunk), self._batch_sharding),
-                    jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                    jax.device_put(r_chunk, self._batch_sharding),
+                    jax.device_put(a_chunk, self._batch_sharding),
                     jnp.asarray(b_chunk),
                     W_dev,
                     bias_dev,
@@ -539,10 +533,10 @@ class BelugaRunner:
                     a_chunk, common = _aux(start, real)
                     yield start, real, self._score_spans_packed2(
                         self.params,
-                        jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
+                        jax.device_put(p_chunk, self._batch_sharding),
                         jnp.asarray(r_local),
                         jnp.asarray(c_local),
-                        jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                        jax.device_put(a_chunk, self._batch_sharding),
                         *common,
                     )
             else:
@@ -552,8 +546,8 @@ class BelugaRunner:
                     p_chunk = np.pad(packed_all[start : start + real], ((0, rows - real), (0, 0)))
                     yield start, real, self._score_spans_packed(
                         self.params,
-                        jax.device_put(jnp.asarray(p_chunk), self._batch_sharding),
-                        jax.device_put(jnp.asarray(a_chunk), self._batch_sharding),
+                        jax.device_put(p_chunk, self._batch_sharding),
+                        jax.device_put(a_chunk, self._batch_sharding),
                         *common,
                     )
 
@@ -598,7 +592,7 @@ class BelugaRunner:
                 chunk = codes[g0 * n_shifts : g1 * n_shifts]
                 if chunk.shape[0] != rows:
                     chunk = np.pad(chunk, ((0, rows - chunk.shape[0]), (0, 0)))
-                dev = jax.device_put(jnp.asarray(chunk), self._batch_sharding)
+                dev = jax.device_put(chunk, self._batch_sharding)
                 yield g0, g1 - g0, self._forward_project(self.params, dev, pw, n_shifts)
 
         self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
