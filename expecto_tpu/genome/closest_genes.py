@@ -21,7 +21,13 @@ def find_closest_gene(snp_chrom: str, snp_pos: int, geneanno: pd.DataFrame) -> p
 
 
 def is_in_receptive_field(dist: float, strand: str, shifts: np.ndarray, windowsize: int = 1000) -> bool:
-    """Receptive-field membership test (make_closest_genes_file.py:103-108)."""
+    """Receptive-field membership test (make_closest_genes_file.py:103-108).
+
+    ``windowsize=1000`` replicates the reference's hard-coded value
+    (make_closest_genes_file.py:93) even though the feature windows are
+    2,000 bp — the reference's receptive field is deliberately(?) ~500 bp
+    short on each edge; kept for association-table parity. Pass 2000 for
+    the geometrically correct field."""
     s = 1 if strand == "+" else -1
     start = np.min((shifts * s) - int(windowsize / 2 - 1))
     stop = np.max((shifts * s) + int(windowsize / 2))

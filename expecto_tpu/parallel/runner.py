@@ -233,13 +233,14 @@ class BelugaRunner:
 
         self._score_spans = _score_spans
 
-        def _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
-            # Transfer-optimized + incremental serving: one packed span per
-            # variant; the alt span is spliced on device (alt_allele:
+        def _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos):
+            # Transfer-optimized + incremental serving core: one packed span
+            # per variant; the alt span is spliced on device (alt_allele:
             # (N, A) codes, -1 keeps the reference base), and the alt conv
             # stack recomputes only the ~20 conv6 frames whose receptive
             # field covers the variant (ops/spans.conv6_phases_patch) — ~80%
-            # of the alt allele's conv FLOPs are reused from ref.
+            # of the alt allele's conv FLOPs are reused from ref. Returns the
+            # fwd/RC-averaged (N, S, 2002) track predictions for ref and alt.
             a_len = alt_allele.shape[1]
             patch = jax.lax.dynamic_slice_in_dim(ref, mutpos, a_len, axis=1)
             patch = jnp.where(alt_allele >= 0, alt_allele.astype(jnp.int8), patch)
@@ -276,12 +277,17 @@ class BelugaRunner:
                 y_rc = fc_head(params, h_rc, precision=precision).astype(jnp.float32)
                 return (y + y_rc) * 0.5
 
+            return preds(h_ref_f, h_ref_r), preds(h_ref_f + d_f, h_ref_r + d_r)
+
+        def _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
+            p_ref, p_alt = _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos)
+
             def feats(p):
                 f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(preds(h_ref_f, h_ref_r)) @ W + bias
-            ALT = feats(preds(h_ref_f + d_f, h_ref_r + d_r)) @ W + bias
+            REF = feats(p_ref) @ W + bias
+            ALT = feats(p_alt) @ W + bias
             return REF, ALT
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
@@ -297,6 +303,28 @@ class BelugaRunner:
             return _score_from_ref(params, ref, alt_allele, basis, W, bias, offsets, span_len, mutpos)
 
         self._score_spans_packed2 = _score_spans_packed2
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
+        def _score_spans_packed2_rows(
+            params, packed_ref, n_rows, n_cols, alt_allele, basis_rows, row_uidx,
+            W, bias, offsets, span_len, mutpos,
+        ):
+            # Variant-gene expanded serving: the conv/fc stack runs once per
+            # UNIQUE variant span; per-(variant, gene) rows differ only in
+            # the decay basis, so row predictions are an on-device gather.
+            #   basis_rows: (S, R, B); row_uidx: (R,) unique-variant index
+            ref = unpack_codes2(packed_ref, span_len, n_rows, n_cols)
+            p_ref, p_alt = _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos)
+
+            def feats(p):
+                f = jnp.einsum("srb,rsm->rbm", basis_rows.astype(jnp.float32), p)
+                return f.reshape(p.shape[0], -1)
+
+            REF = feats(jnp.take(p_ref, row_uidx, axis=0)) @ W + bias
+            ALT = feats(jnp.take(p_alt, row_uidx, axis=0)) @ W + bias
+            return REF, ALT
+
+        self._score_spans_packed2_rows = _score_spans_packed2_rows
 
     def _run_pipelined(self, jobs, write):
         """Drain a stream of (start, real, device_result) with up to
@@ -555,6 +583,89 @@ class BelugaRunner:
             rr, aa = pair
             REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
             ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
+
+        self._run_pipelined(jobs(), write)
+        return REF, ALT
+
+    def score_variant_spans_packed_rows(
+        self,
+        ref_spans_u: np.ndarray,
+        mutpos: int,
+        alt_alleles_u: np.ndarray,
+        offsets,
+        basis_rows: np.ndarray,
+        row_uidx: np.ndarray,
+        W: np.ndarray,
+        bias: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Fused serving over (variant, gene) rows that share variants: the
+        conv/fc stack runs once per UNIQUE span; each row scores its own
+        decay basis against an on-device gather of its variant's tracks.
+
+        ``basis_rows``: (S, R, B); ``row_uidx``: (R,) nondecreasing index
+        into the unique spans (rows of one variant must be contiguous — the
+        closest-genes expansion produces exactly that layout).
+        """
+        ref_spans_u = np.asarray(ref_spans_u, dtype=np.int8)
+        alt_alleles_u = np.asarray(alt_alleles_u, dtype=np.int8)
+        row_uidx = np.asarray(row_uidx, dtype=np.int64)
+        offsets = tuple(int(o) for o in offsets)
+        n_u, span_len = ref_spans_u.shape
+        n_rows_total = row_uidx.shape[0]
+        k = W.shape[1]
+        rows = self._span_rows(len(offsets))
+        plan = self._pack2_plan(ref_spans_u, rows)
+        if plan is None:
+            # pathologically N-dense: expand and take the per-row kernel
+            return self.score_variant_spans_packed(
+                ref_spans_u[row_uidx], mutpos, alt_alleles_u[row_uidx], offsets, basis_rows, W, bias
+            )
+        W_dev = jnp.asarray(W, dtype=jnp.float32)
+        bias_dev = jnp.asarray(bias, dtype=jnp.float32)
+        REF = np.empty((n_rows_total, k), dtype=np.float32)
+        ALT = np.empty((n_rows_total, k), dtype=np.float32)
+
+        starts = list(range(0, n_u, rows))
+        r_bounds = [
+            (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
+            for s in starts
+        ]
+        max_r = max((b - a for a, b in r_bounds), default=1)
+        r_pad = -(-max(max_r, 1) // 64) * 64  # one static row bucket per call
+
+        def jobs():
+            for (start, (r0, r1)), (s0, real_u, p_chunk, rl, cl) in zip(
+                zip(starts, r_bounds), self._pack2_chunks(plan, rows, n_u)
+            ):
+                real_r = r1 - r0
+                a_chunk = np.pad(
+                    alt_alleles_u[start : start + real_u], ((0, rows - real_u), (0, 0)), constant_values=-1
+                )
+                b_chunk = np.pad(
+                    basis_rows[:, r0:r1], ((0, 0), (0, r_pad - real_r), (0, 0))
+                )
+                idx_local = np.zeros(r_pad, np.int32)
+                idx_local[:real_r] = (row_uidx[r0:r1] - start).astype(np.int32)
+                yield (r0, real_r), real_r, self._score_spans_packed2_rows(
+                    self.params,
+                    jax.device_put(p_chunk, self._batch_sharding),
+                    jnp.asarray(rl),
+                    jnp.asarray(cl),
+                    jax.device_put(a_chunk, self._batch_sharding),
+                    jnp.asarray(b_chunk),
+                    jnp.asarray(idx_local),
+                    W_dev,
+                    bias_dev,
+                    offsets,
+                    span_len,
+                    int(mutpos),
+                )
+
+        def write(key, real_r, pair):
+            r0, _ = key
+            rr, aa = pair
+            REF[r0 : r0 + real_r] = np.asarray(rr)[:real_r]
+            ALT[r0 : r0 + real_r] = np.asarray(aa)[:real_r]
 
         self._run_pipelined(jobs(), write)
         return REF, ALT

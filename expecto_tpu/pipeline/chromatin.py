@@ -161,6 +161,14 @@ def compute_variant_chromatin_effects(
 
     all_substitutions = all(len(r) == len(a) for r, a in zip(refs, alts))
     span_capable = hasattr(runner, "predict_span_codes")
+    if use_spans == "always":
+        if not all_substitutions:
+            raise ValueError(
+                "use_spans='always' requires substitution-only variants; indels need the "
+                "per-window path's insert + center-crop semantics (use 'auto' or 'never')"
+            )
+        if not span_capable:
+            raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")
     if use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
         per_shift = _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize)
     else:

@@ -207,6 +207,8 @@ def predict_consensus_genes(
         iterator = tqdm(genes)
     for gene in iterator:
         strand = genes_df.loc[gene, "strand"]
+        if isinstance(strand, pd.Series):  # duplicate gene symbols in the annotation
+            strand = strand.iloc[0]
         preds_dir = f"{out_dir}/{gene}"
         os.makedirs(preds_dir, exist_ok=True)
         if not overwrite and os.path.exists(f"{preds_dir}/{gene}.h5"):
@@ -219,7 +221,10 @@ def predict_consensus_genes(
         else:
             record_ids = []
             seqs = []
-            for fasta_file in glob.glob(f"{consensus_dir}/{gene}/samples/*.fa"):
+            # deterministic sample order: raw glob order is
+            # filesystem-dependent and would break cross-gene record-id
+            # consistency checks in the merger
+            for fasta_file in natsorted(glob.glob(f"{consensus_dir}/{gene}/samples/*.fa")):
                 for rec_id, seq in parse_fasta(fasta_file):
                     seqs.append((pad_enformer_seq(rec_id, seq), strand))
                     record_ids.append(f"{rec_id}|{Path(fasta_file).stem}")
@@ -228,9 +233,12 @@ def predict_consensus_genes(
         feats = _match_features(consensus_features(preds.astype(np.float32), shifts), bst)
         expecto_preds = bst.predict(feats)
 
-        with h5py.File(f"{preds_dir}/{gene}_chromatin.h5", "w") as f:
-            f.create_dataset("chromatin_preds", data=preds)
-            f.create_dataset("record_ids", data=np.array(record_ids, "S"))
+        if not exp_only:
+            # in exp_only mode the chromatin h5 was the (expensive) input;
+            # never truncate-rewrite it
+            with h5py.File(f"{preds_dir}/{gene}_chromatin.h5", "w") as f:
+                f.create_dataset("chromatin_preds", data=preds)
+                f.create_dataset("record_ids", data=np.array(record_ids, "S"))
         with h5py.File(f"{preds_dir}/{gene}.h5", "w") as f:
             f.create_dataset("expecto_preds", data=expecto_preds)
             f.create_dataset("record_ids", data=np.array(record_ids, "S"))
@@ -383,7 +391,10 @@ def sed_for_top_eqtls(
     all_eqtls_df = pd.read_csv(eur_top_eqtl_genes_csv, names=["ens_id", "chr", "pos", "gene", "strand"])
     all_eqtls_df["gene"] = all_eqtls_df["gene"].str.lower()
     all_eqtls_df["gene"] = all_eqtls_df["gene"].fillna(all_eqtls_df["ens_id"].str.lower())
-    eqtls_df["strand"] = pd.merge(eqtls_df, all_eqtls_df, left_on="name", right_on="gene", how="left")["strand"]
+    # lowercase lookup by map: case-insensitive, and immune to duplicate gene
+    # symbols (a merge would silently expand/misalign rows)
+    strand_by_gene = all_eqtls_df.drop_duplicates("gene").set_index("gene")["strand"]
+    eqtls_df["strand"] = eqtls_df["name"].str.lower().map(strand_by_gene)
 
     genes, ref_pred_list, alt_pred_list = [], [], []
     for _, eqtl in eqtls_df.iterrows():
@@ -397,7 +408,10 @@ def sed_for_top_eqtls(
 
         # validate the eQTL table against the consensus record
         ref_chr = int(rec_id.split("|")[0].split(":")[0].replace("chr", ""))
-        ref_start = int(rec_id.split(":")[1].split("-")[-2] if rec_id.split(":")[1].startswith("-") else rec_id.split(":")[1].split("-")[0])
+        interval = rec_id.split(":")[1]
+        # negative-start intervals keep their sign (chromosome-edge records;
+        # same parse as pad_enformer_seq)
+        ref_start = -int(interval.split("-")[-2]) if interval.startswith("-") else int(interval.split("-")[0])
         if int(eqtl["CHR_SNP"]) != ref_chr:
             raise AssertionError("Chromosomes do not match between eQTL df and ref fasta id")
         if int(eqtl["TSSpos_x"]) != ref_start + len(ref_seq) // 2:

@@ -53,7 +53,11 @@ def merge_consensus_batches(batch_dir: str, out_dir: str, n_genes: int | None = 
     """Stack per-gene consensus h5s with record-id consistency checks
     (merge_geuvadis_predict_consensus.py:12-44)."""
     os.makedirs(out_dir, exist_ok=True)
-    h5_files = natsorted(glob.glob(f"{batch_dir}/*/*.h5"))
+    # exclude the per-gene *_chromatin.h5 siblings that predict_consensus_genes
+    # writes next to {gene}.h5 (the reference's bare */*.h5 glob predates them)
+    h5_files = natsorted(
+        p for p in glob.glob(f"{batch_dir}/*/*.h5") if not p.endswith("_chromatin.h5")
+    )
     if n_genes is not None and len(h5_files) != n_genes:
         raise AssertionError(f"Expected {n_genes} genes but got {len(h5_files)} h5 files")
     record_ids = None
@@ -65,7 +69,9 @@ def merge_consensus_batches(batch_dir: str, out_dir: str, n_genes: int | None = 
                 record_ids = curr
             elif not (record_ids == curr).all():
                 raise AssertionError(f"record id mismatch in {h5_file}")
-            preds.append(np.array(f["preds"]))
+            # 'preds' = top-eqtl layout; 'expecto_preds' = main consensus layout
+            name = "preds" if "preds" in f else "expecto_preds"
+            preds.append(np.array(f[name]))
     genes = [Path(x).stem for x in h5_files]
     with h5py.File(f"{out_dir}/expecto_preds.h5", "w") as f:
         f.create_dataset("record_ids", data=np.array(record_ids, "S"))

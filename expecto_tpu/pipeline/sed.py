@@ -156,7 +156,10 @@ def score_sed(
         return model.predict(_match_model_features(X, model, n_tracks))
 
     have_refalt = "ref" in feats and "alt" in feats
-    effect = predict(feats["diff"] * 0) - predict(feats["diff"])
+    # predict(0-features) is exactly the constant base_score + bias — no need
+    # to materialize a zero matrix and run a matvec for it
+    base = np.full(feats["diff"].shape[0], model.base_score + model.bias, dtype=np.float32)
+    effect = base - predict(feats["diff"])
     if have_refalt:
         ref = predict(feats["ref"])
         alt = predict(feats["alt"])
@@ -240,14 +243,27 @@ def score_sed_serving(
     row_alts = inputs.coor.iloc[:, 4].astype(str).values
     n = len(positions)
 
+    # the gene association repeats each variant once per associated gene;
+    # the conv stack runs once per UNIQUE variant, rows gather on device
+    keys = [f"{c}:{p}:{r}:{a}" for c, p, r, a in zip(chroms, positions, row_refs, row_alts)]
+    row_uidx = np.zeros(n, dtype=np.int64)
+    uniq_first: list[int] = []
+    seen: dict[str, int] = {}
+    for i, key in enumerate(keys):
+        if key not in seen:
+            seen[key] = len(uniq_first)
+            uniq_first.append(i)
+        row_uidx[i] = seen[key]
+    n_u = len(uniq_first)
+
     max_len = max(len(a) for a in row_alts) if n else 1
-    ref_spans = np.empty((n, span_len), dtype=np.int8)
-    alt_alleles = np.full((n, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
-    for i in range(n):
+    ref_spans = np.empty((n_u, span_len), dtype=np.int8)
+    alt_alleles = np.full((n_u, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
+    for j, i in enumerate(uniq_first):
         span = genome.window_codes(chroms[i], [positions[i] - maxshift - half], span_len)[0]
-        ref_spans[i] = span
-        ref_spans[i, mutpos : mutpos + len(row_refs[i])] = seqs_to_codes([row_refs[i]], len(row_refs[i]))[0]
-        alt_alleles[i, : len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
+        ref_spans[j] = span
+        ref_spans[j, mutpos : mutpos + len(row_refs[i])] = seqs_to_codes([row_refs[i]], len(row_refs[i]))[0]
+        alt_alleles[j, : len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
 
     basis = variant_basis(inputs.dist, inputs.strand, shifts)  # (S, n, 10)
 
@@ -266,7 +282,16 @@ def score_sed_serving(
         raise ValueError(f"unsupported model feature count {nf}")
     bias = np.array([m.bias + m.base_score for m in models], dtype=np.float32)
 
-    REF, ALT = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    contiguous = bool(np.all(np.diff(row_uidx) >= 0)) if n else True
+    if n_u < n and contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
+        REF, ALT = runner.score_variant_spans_packed_rows(
+            ref_spans, mutpos, alt_alleles, offsets, basis, row_uidx, W, bias
+        )
+    else:
+        # 1:1 rows (or a non-contiguous layout): expand and run per row
+        REF, ALT = runner.score_variant_spans_packed(
+            ref_spans[row_uidx], mutpos, alt_alleles[row_uidx], offsets, basis, W, bias
+        )
 
     df = inputs.coor.copy()
     df["dist"] = inputs.dist

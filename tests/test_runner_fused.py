@@ -207,3 +207,36 @@ def test_predict_span_codes_pack2_equals_fallback(params, monkeypatch):
     monkeypatch.setattr(BelugaRunner, "PACK2_SIDE_BUDGET", -1)  # force raw fallback
     got_raw = runner.predict_span_codes(spans, offsets, rc_mode="average")
     np.testing.assert_allclose(got2, got_raw, rtol=1e-6, atol=1e-6)
+
+
+def test_score_spans_packed_rows_matches_expanded(params):
+    # variant-gene expanded serving: conv once per unique span + on-device
+    # gather must equal running the per-row kernel on expanded inputs
+    from expecto_tpu.parallel.runner import BelugaRunner
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.genome.windows import variant_shifts
+
+    maxshift = 400
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
+    mutpos = maxshift + 999
+    rng = np.random.default_rng(14)
+    n_u = 3
+    spans_u = rng.integers(0, 4, size=(n_u, span_len), dtype=np.int8)
+    alt_u = ((spans_u[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+    row_uidx = np.array([0, 0, 0, 1, 2, 2])  # 3/1/2 genes per variant
+    R = len(row_uidx)
+    basis = variant_basis(rng.integers(-5000, 5000, R), rng.choice(["+", "-"], R), shifts).astype(np.float32)
+    W = rng.standard_normal((20020, 4)).astype(np.float32) * 0.01
+    bias = rng.standard_normal(4).astype(np.float32)
+
+    runner = BelugaRunner(params, batch_size=64)
+    REF1, ALT1 = runner.score_variant_spans_packed(
+        spans_u[row_uidx], mutpos, alt_u[row_uidx], offsets, basis, W, bias
+    )
+    REF2, ALT2 = runner.score_variant_spans_packed_rows(
+        spans_u, mutpos, alt_u, offsets, basis, row_uidx, W, bias
+    )
+    np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
