@@ -45,11 +45,24 @@ def load_bootstrap_models(model_dir: str, pattern: str = "*/*.save", limit: int 
     return [load_expression_model(f) for f in files]
 
 
-def features_sorted_by_zscore(input_features_df: pd.DataFrame, stats: BootstrapStats) -> pd.DataFrame:
+def features_sorted_by_zscore(
+    input_features_df: pd.DataFrame, stats: BootstrapStats, n_basis: int = 10
+) -> pd.DataFrame:
     """Annotate a per-feature table with z-scores and sort by |z|
-    (plot_bootstrapped_coefficients.py:64-69)."""
+    (plot_bootstrapped_coefficients.py:64-69).
+
+    Model weights are basis-major (feature b*M + m, ops/decay.py) while
+    all_feature_clusters.tsv rows are mark-major (mark repeated per basis
+    coefficient) — the z-vector is reordered to mark-major before
+    assignment. The reference assigns positionally without reordering
+    (plot_bootstrapped_coefficients.py:65), annotating almost every row
+    with another feature's z-score; fixed here.
+    """
     df = input_features_df.copy()
-    df["z_score"] = stats.z_score
+    z = np.asarray(stats.z_score)
+    if df.shape[0] == z.shape[0] and z.shape[0] % n_basis == 0:
+        z = z.reshape(n_basis, -1).T.ravel()  # basis-major -> mark-major
+    df["z_score"] = z
     df["_absz"] = np.abs(df["z_score"])
     df = df.sort_values(by="_absz", ascending=False).reset_index(drop=True)
     return df.drop("_absz", axis=1)

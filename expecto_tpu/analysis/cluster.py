@@ -222,8 +222,12 @@ def louvain_clusters(X: np.ndarray, k_neighbors: int = 15, max_passes: int = 10,
 
     final = node_map[-1]
     out = np.zeros(n, dtype=np.int64)
-    if isinstance(final[0], list):
+    if final and isinstance(final[0], list):
         for label, members in enumerate(final):
             for node in members:
                 out[node] = label
+    else:
+        # no improving move on the first level: every node is its own
+        # community (not one giant cluster 0)
+        out = np.arange(n, dtype=np.int64)
     return out

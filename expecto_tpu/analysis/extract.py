@@ -142,10 +142,14 @@ def _extract_basenji_gene(row, *, extract_mode, out_dir, basenji_preds_dir, trac
         out_df.to_csv(f"{preds_out_dir}/basenji_preds.csv")
     else:
         lo = max(target_bin - 50, 0)
-        all_preds = np.empty((len(sample_files), 101 - (lo - (target_bin - 50)), len(track_idx)), dtype=np.float16)
+        hi = target_bin + 51  # clipped to the dataset length below
+        all_preds = None
         for i, sample_file in enumerate(sample_files):
             with h5py.File(sample_file, "r") as gene_h5:
-                all_preds[i] = gene_h5["all_preds"][lo : target_bin + 51, :][:, track_idx]
+                hi_c = min(hi, gene_h5["all_preds"].shape[0])
+                if all_preds is None:
+                    all_preds = np.empty((len(sample_files), hi_c - lo, len(track_idx)), dtype=np.float16)
+                all_preds[i] = gene_h5["all_preds"][lo:hi_c, :][:, track_idx]
         with h5py.File(f"{preds_out_dir}/basenji_gm12878_preds.h5", "w") as f:
             f.create_dataset("all_preds", data=all_preds, compression="gzip", compression_opts=9)
             f.create_dataset("sample_names", data=np.array(sample_names, dtype="S"))

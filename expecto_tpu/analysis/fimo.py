@@ -84,27 +84,48 @@ def cluster_contribs_hypergeom(
     hypergeom_data = {"top_cluster_idx": [], "hypergeom_pval": []}
     unique_clusters = defaultdict(set)
 
+    # hoist everything independent of the rank cutoff: per-row contribution
+    # rankings, per-cluster motif sets, per-variant FIMO match counters, and
+    # the per-row bottom-N negative counts. The reference recomputes all of
+    # these inside the cutoff loop (cluster_analysis_with_fimo.py:126-176),
+    # i.e. O(cutoffs x rows) of heavy pandas work.
+    ranked: list[tuple[object, list]] = []
+    for _, row in cluster_contribs_df.iterrows():
+        contribs = row.iloc[contrib_start_col:].sort_values(ascending=False, key=np.abs)
+        ranked.append((row.iloc[id_col], list(contribs.index)))
+
+    cluster_motifs = {
+        name: set(sum([str(x).split(",") for x in np.atleast_1d(rsat_clusters_df.loc[name]).tolist()], []))
+        for name in rsat_clusters_df.index
+    }
+    fimo_counts = {
+        rsid: sub["motif_alt_id"].value_counts().to_dict()
+        for rsid, sub in fimo_df.groupby("sequence_name")
+    }
+
+    def n_matches(rsid, motifs):
+        counts = fimo_counts.get(rsid)
+        if not counts:
+            return 0
+        return sum(c for m, c in counts.items() if m in motifs)
+
+    neg_info = []
+    for rsid, order in ranked:
+        bottom = order[-n_neg_clusters:]
+        neg_motifs = set().union(*(cluster_motifs[b] for b in bottom)) if bottom else set()
+        neg_info.append((n_matches(rsid, neg_motifs), len(neg_motifs)))
+
     for top_cluster_idx in range(rsat_clusters_df.shape[0] - n_neg_clusters):
         n_pos_matches = n_pos_motifs = n_neg_matches = n_neg_motifs = 0
-        for _, row in cluster_contribs_df.iterrows():
-            rsid = row.iloc[id_col]
-            contribs = row.iloc[contrib_start_col:].sort_values(ascending=False, key=np.abs)
-            cluster_i = contribs.index[top_cluster_idx]
+        for (rsid, order), (negm, negn) in zip(ranked, neg_info):
+            cluster_i = order[top_cluster_idx]
             if return_unique_clusters:
-                unique_clusters[top_cluster_idx] |= set(contribs.index[: top_cluster_idx + 1].tolist())
-
-            rsid_fimo = fimo_df[fimo_df["sequence_name"] == rsid]
-
-            pos_motifs = set(sum([x.split(",") for x in np.atleast_1d(rsat_clusters_df.loc[cluster_i]).tolist()], []))
-            n_pos_matches += rsid_fimo[rsid_fimo["motif_alt_id"].isin(pos_motifs)].shape[0]
+                unique_clusters[top_cluster_idx] |= set(order[: top_cluster_idx + 1])
+            pos_motifs = cluster_motifs[cluster_i]
+            n_pos_matches += n_matches(rsid, pos_motifs)
             n_pos_motifs += len(pos_motifs)
-
-            bottom = contribs.index[-n_neg_clusters:]
-            neg_motifs = set(
-                sum([x.split(",") for x in np.asarray(rsat_clusters_df.loc[bottom]).ravel().tolist()], [])
-            )
-            n_neg_matches += rsid_fimo[rsid_fimo["motif_alt_id"].isin(neg_motifs)].shape[0]
-            n_neg_motifs += len(neg_motifs)
+            n_neg_matches += negm
+            n_neg_motifs += negn
 
         k, M, n, N = n_pos_matches, n_pos_motifs + n_neg_motifs, n_pos_motifs, n_pos_matches + n_neg_matches
         hypergeom_data["top_cluster_idx"].append(top_cluster_idx)

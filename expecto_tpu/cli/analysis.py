@@ -32,7 +32,8 @@ def main(argv=None) -> int:
                     help="reuse a fitted clustering instead of refitting (interpret_features.py:99-110)")
     fp.add_argument("--clustering_with_distances", action="store_true",
                     help="fit with distance_threshold=0 so dendrogram distances are kept")
-    fp.add_argument("--n_clusters", type=int, default=10)
+    fp.add_argument("--n_clusters", type=int, default=None,
+                    help="default 10 (feature mode, interpret_features.py:116) / 110 (grouped)")
     fp.add_argument("--grouped", action="store_true", help="cluster the 2,002 marks instead (n_clusters default 110)")
     fp.add_argument("--out_dir", default="interpret_features")
 
@@ -230,14 +231,16 @@ def main(argv=None) -> int:
             )
             name = "clustering_with_distances" if args.clustering_with_distances else "clustering_cached"
             joblib.dump(clustering, f"{args.out_dir}/{name}.joblib")
+        n_clusters = args.n_clusters if args.n_clusters is not None else (110 if args.grouped else 10)
         if args.grouped:
-            n_clusters = args.n_clusters if args.n_clusters != 10 else 110
             clusters = cut_mark_clustering(clustering, X_train, n_clusters)
             table = mark_clusters_table(features_df, clusters)
             cluster_sizes(table).to_csv(f"{args.out_dir}/cluster_sizes.tsv", sep="\t")
         else:
-            labels = cut_feature_clustering(clustering, X_train, args.n_clusters)
-            table = feature_clusters_table(features_df, labels.transpose(1, 0))
+            # cut_feature_clustering returns (n_marks, n_basis) — already the
+            # mark-major layout feature_clusters_table ravels
+            labels = cut_feature_clustering(clustering, X_train, n_clusters)
+            table = feature_clusters_table(features_df, labels)
         table.to_csv(f"{args.out_dir}/all_feature_clusters.tsv", sep="\t")
         cdir = f"{args.out_dir}/clusters"
         os.makedirs(cdir, exist_ok=True)
@@ -369,6 +372,9 @@ def main(argv=None) -> int:
             names=["CHROM", "POS", "ID", "REF", "ALT", "QUAL", "FILTER", "INFO"],
         )
         if args.chunk_i is not None:
+            if args.chunk_size is None:
+                print("--chunk_i requires --chunk_size", file=sys.stderr)
+                return 2
             vcf_df = vcf_df.iloc[args.chunk_i * args.chunk_size : (args.chunk_i + 1) * args.chunk_size]
         genome = FastaIndex(args.hg19_fasta)
         fasta = f"{args.out_dir}/fimo_in.fasta"
@@ -407,7 +413,13 @@ def main(argv=None) -> int:
         fimo_df = fimo_df[fimo_df["p-value"] < args.pval_match_threshold]
 
         id_col = contribs.columns.tolist().index("2") if "2" in contribs.columns else 2
-        start_col = 15
+        # locate the cluster-contribution block by matching column names
+        # against the RSAT cluster table (robust to layouts with or without
+        # SED_PROPORTION, unlike the reference's hard-coded 15 —
+        # cluster_analysis_with_fimo.py:52's iloc offset)
+        cluster_names = set(map(str, rsat_clusters_df.index))
+        matches = [i for i, c in enumerate(contribs.columns) if str(c) in cluster_names]
+        start_col = min(matches) if matches else 15
         hyper_df, uniq = cluster_contribs_hypergeom(
             contribs, fimo_df, rsat_clusters_df, args.n_neg_clusters,
             id_col=id_col, contrib_start_col=start_col, return_unique_clusters=True,

@@ -109,8 +109,7 @@ def main(argv=None) -> int:
             metrics_path=os.path.join(args.output_dir, "metrics.h5"),
             vectorized=args.vectorized,
             params=hp, filter_str=args.filterStr, pseudocount=args.pseudocount,
-            extra_filter=extra_filter,
-            **({} if args.vectorized else {"keep_mask": keep_mask}),
+            extra_filter=extra_filter, keep_mask=keep_mask,
         )
         for name, res in results.items():
             print(f"{name}: spearman (chr8 holdout) {res.spearman:.4f}")

@@ -354,9 +354,12 @@ def score_sed_with_clusters(
     df["dist"] = inputs.dist
     df["gene"] = inputs.genename
     df["strand"] = inputs.strand
+    sed = alt - ref
+    with np.errstate(divide="ignore", invalid="ignore"):
+        sed_prop = np.abs(sed / ((ref + alt) / 2))  # predict_by_cluster_rsat.py:377
     df = pd.concat(
         [df.reset_index(), pd.DataFrame(ref, columns=["REF"]), pd.DataFrame(alt, columns=["ALT"]),
-         pd.DataFrame(alt - ref, columns=["SED"]),
+         pd.DataFrame(sed, columns=["SED"]), pd.DataFrame(sed_prop, columns=["SED_PROPORTION"]),
          pd.DataFrame(proportions, columns=names)],
         axis=1, ignore_index=False,
     )

@@ -233,8 +233,12 @@ def train_all_tissues(
         filter_str = kwargs.pop("filter_str", "all")
         pseudocount = kwargs.pop("pseudocount", 1e-4)
         extra_filter = kwargs.pop("extra_filter", None)
+        keep_mask = kwargs.pop("keep_mask", None)
+        n_tracks = kwargs.pop("n_tracks", 2002)
         if kwargs:
             raise TypeError(f"unsupported kwargs for vectorized sweep: {sorted(kwargs)}")
+        if keep_mask is not None:
+            Xreducedall = subset_features_by_mask(Xreducedall, keep_mask, n_tracks=n_tracks)
         Y = np.log(expression_df.iloc[:, indices].values.astype(np.float64) + pseudocount)
         filt = gene_filter(geneanno, filter_str) & np.isfinite(Y).all(axis=1)
         if extra_filter is not None:

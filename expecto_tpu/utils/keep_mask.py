@@ -52,6 +52,9 @@ def get_keep_mask(
         keep_mask &= (~hgnc_df["Assay"].isnull()).values
 
     if no_pol2:
+        # startswith('Pol') replicates the reference exactly
+        # (cluster_utils.py:46): despite the flag's name it also drops Pol3
+        # assays — kept for mask parity with reference-trained models
         keep_mask &= (~beluga_features_df["Assay"].str.startswith("Pol")).values
 
     if return_hgnc_df:

@@ -116,9 +116,16 @@ class TestClustering:
         assert set(labels.ravel()) == {0, 1, 2}
 
         meta = pd.DataFrame({"Assay": [f"a{i}" for i in range(n_marks)]})
-        table = feature_clusters_table(meta, labels.transpose(1, 0), n_basis=n_basis)
+        table = feature_clusters_table(meta, labels, n_basis=n_basis)
         assert table.shape[0] == n_marks * n_basis
         assert {"coeff_idx", "cluster"} <= set(table.columns)
+        # layout check: table rows are mark-major (each mark repeated per
+        # basis coefficient), so row m*n_basis+b carries labels[m, b]
+        for m in (0, n_marks - 1):
+            for b in (0, n_basis - 1):
+                row = table.iloc[m * n_basis + b]
+                assert row["Assay"] == f"a{m}" and row["coeff_idx"] == b
+                assert row["cluster"] == labels[m, b]
 
     def test_tfidf_svd(self):
         from expecto_tpu.analysis.cluster import tfidf_transform, tfidf_svd
