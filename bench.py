@@ -79,7 +79,7 @@ def measure_tpu_variants_per_sec(params, *, n_variants: int, maxshift: int = 800
     return best
 
 
-def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows: int = 32) -> float:
+def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows: int = 96, repeats: int = 3) -> float:
     """Reference-equivalent CPU path: torch fp32 forward, batch 32
     (chromatin.py:37-38,265-279)."""
     import torch
@@ -105,32 +105,33 @@ def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows:
     x = torch.randn(n_windows, 4, 1, 2000)
     with torch.no_grad():
         net(x[:4])  # warmup
-        t0 = time.perf_counter()
-        for i in range(0, n_windows, batch):
-            net(x[i : i + batch])
-        dt = time.perf_counter() - t0
-    return n_windows / dt
+        best = float("inf")
+        for _ in range(repeats):  # best-of-N: one scheduler hiccup otherwise
+            t0 = time.perf_counter()  # poisons the cached baseline forever
+            for i in range(0, n_windows, batch):
+                net(x[i : i + batch])
+            best = min(best, time.perf_counter() - t0)
+    return n_windows / best
 
 
 _RESULT_PRINTED = False
 
 
-def _emit(value: float, vs_baseline: float) -> None:
+def _emit(value: float, vs_baseline: float, *, watchdog_fallback: bool = False) -> None:
     global _RESULT_PRINTED
     if _RESULT_PRINTED:
         return
     _RESULT_PRINTED = True
-    print(
-        json.dumps(
-            {
-                "metric": "variants_per_sec_per_chip",
-                "value": round(value, 3),
-                "unit": "variants/s",
-                "vs_baseline": round(vs_baseline, 2),
-            }
-        ),
-        flush=True,
-    )
+    record = {
+        "metric": "variants_per_sec_per_chip",
+        "value": round(value, 3),
+        "unit": "variants/s",
+        "vs_baseline": round(vs_baseline, 2),
+    }
+    if watchdog_fallback:
+        # distinguish a stalled run's cached/floor number from a fresh one
+        record["watchdog_fallback"] = True
+    print(json.dumps(record), flush=True)
 
 
 def _arm_watchdog(seconds: float) -> None:
@@ -146,7 +147,7 @@ def _arm_watchdog(seconds: float) -> None:
                 last = json.load(f)
         except Exception:
             pass
-        _emit(last["value"], last["vs_baseline"])
+        _emit(last["value"], last["vs_baseline"], watchdog_fallback=True)
         os._exit(0)
 
     t = threading.Timer(seconds, fire)

@@ -377,7 +377,10 @@ class BelugaRunner:
         max_ns = max((int(b - a) for a, b in bounds), default=0)
         if max_ns > self.PACK2_SIDE_BUDGET:
             return None
-        side = max(64, 1 << (max_ns - 1).bit_length()) if max_ns > 0 else 64
+        # minimum bucket 1024: realistic N densities always land in the same
+        # bucket, so warmup calls compile the same kernel signature as the
+        # timed/production calls (the 8 KB sideband transfer is negligible)
+        side = max(1024, 1 << (max_ns - 1).bit_length()) if max_ns > 0 else 1024
         return packed, n_rows, n_cols, starts, bounds, side
 
     def _pack2_chunks(self, plan, rows: int, n: int):

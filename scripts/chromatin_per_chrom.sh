@@ -6,7 +6,13 @@
 set -euo pipefail
 VCF_DIR=${1:?dir with per-chrom vcfs named chr*.vcf}
 OUT=${2:-chromatin_out}
-for f in "$VCF_DIR"/chr*.vcf; do
+shopt -s nullglob
+files=("$VCF_DIR"/chr*.vcf)
+if [ ${#files[@]} -eq 0 ]; then
+  echo "no chr*.vcf files in $VCF_DIR" >&2
+  exit 2
+fi
+for f in "${files[@]}"; do
   chrom=$(basename "$f" .vcf)
   python -m expecto_tpu.cli.chromatin "$f" --batchsize 2048 --output_dir "$OUT/$chrom"
 done

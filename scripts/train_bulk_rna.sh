@@ -8,7 +8,10 @@ INPUT=${2:?Xreducedall npy}
 ANNO=${3:?geneanno.csv}
 OUT=${4:-models/bulk_rna}
 for exp_file in "$GENEANNOS"/*; do
-    identifier="${exp_file##*_}"
+    # full basename minus prefix/extension: last-underscore tokens collide
+    # (e.g. *_brain_cortex vs *_frontal_cortex both -> 'cortex')
+    identifier="$(basename "$exp_file")"
+    identifier="${identifier#geneanno.exp_}"
     identifier="${identifier%.*}"
     echo "$identifier"
     python3 -m expecto_tpu.cli.train --expFile "$exp_file" --targetIndex 1 \
