@@ -77,10 +77,15 @@ def main() -> int:
     for n_dev in sizes:
         runner = BelugaRunner(
             params,
-            batch_size=256 * n_dev,
+            # match the serving default (2048 windows-equivalent per device);
+            # smaller batches are relay-latency-dominated and misrepresent
+            # the engine. CPU-mesh keeps small batches (mechanism check only)
+            batch_size=(256 if args.cpu_mesh else 2048) * n_dev,
             mesh=get_mesh(n_dev),
             compute_dtype=jnp.float32 if args.cpu_mesh else jnp.bfloat16,
             precision=jax.lax.Precision.HIGHEST if args.cpu_mesh else jax.lax.Precision.DEFAULT,
+            out_dtype=np.float32 if args.cpu_mesh else np.float16,
+            pipeline_depth=6,
         )
         # warm with one full-size chunk so the timed call reuses the exact
         # compiled signature (same rows + sideband bucket)
