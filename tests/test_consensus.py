@@ -303,3 +303,66 @@ class TestTopEqtlConsensus:
             # '+' strand sample: span starts at tss + min(shifts) - 999
             lo = tss + min(TEST_SHIFTS) - 999
             assert seqs[0] == recs[0][1][lo : lo + span_len]
+
+
+def test_consensus_preds_dedup_identical_spans(tmp_path):
+    """Duplicate consensus spans (shared haplotypes) are predicted once but
+    every record still gets its row."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    class CountingRunner(FakeRunner):
+        def __init__(self):
+            super().__init__()
+            self.rows_seen = 0
+
+        def predict_span_codes(self, span_codes, offsets, rc_mode="none"):
+            self.rows_seen += span_codes.shape[0]
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                out.append(self.predict_codes(wins, average_rc=(rc_mode == "average")))
+            return np.stack(out)
+
+    rng = np.random.default_rng(15)
+    seq_a = _random_seq(rng, ENFORMER_SEQ_LENGTH)
+    seq_b = _random_seq(rng, ENFORMER_SEQ_LENGTH)
+    runner = CountingRunner()
+    preds = _predict_consensus_preds(
+        runner, [(seq_a, "+"), (seq_b, "+"), (seq_a, "+")], TEST_SHIFTS
+    )
+    assert runner.rows_seen == 2  # two unique spans, three records
+    np.testing.assert_array_equal(preds[0], preds[2])
+    assert not np.array_equal(preds[0], preds[1])
+
+
+def test_window_dedup_cohort_matches_span_path():
+    """A cohort differing at a few SNPs takes the per-window dedup path;
+    results must match the span-amortized per-record path."""
+    from expecto_tpu.pipeline.consensus import (
+        _predict_consensus_preds,
+        _predict_consensus_preds_window_dedup,
+    )
+
+    rng = np.random.default_rng(16)
+    backbone = _random_seq(rng, ENFORMER_SEQ_LENGTH)
+    tss = ENFORMER_SEQ_LENGTH // 2
+    cohort = []
+    for b in range(48):
+        seq = list(backbone)
+        # 2 SNP sites shared across the cohort, genotype varies by sample
+        for site in (tss - 300, tss + 150):
+            if (b >> (0 if site < tss else 1)) & 1:
+                seq[site] = "T" if seq[site] != "T" else "C"
+        cohort.append(("".join(seq), "+"))
+
+    runner = FakeRunner()
+    dedup = _predict_consensus_preds_window_dedup(runner, cohort, TEST_SHIFTS, np.float32)
+    assert dedup is not None, "redundant cohort must clear the dedup threshold"
+    per_record = np.stack([
+        _predict_consensus_preds(runner, [c], TEST_SHIFTS)[0] for c in cohort
+    ])
+    np.testing.assert_allclose(dedup, per_record, rtol=1e-5, atol=1e-6)
+
+    # a cohort of fully distinct sequences must NOT take the dedup path
+    distinct = [(_random_seq(rng, ENFORMER_SEQ_LENGTH), "+") for _ in range(8)]
+    assert _predict_consensus_preds_window_dedup(runner, distinct, TEST_SHIFTS, np.float32) is None
