@@ -155,7 +155,7 @@ class BelugaRunner:
             y = beluga_forward(params, x, precision=precision).astype(jnp.float32)
             y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
             preds = ((y + y_rc) * 0.5).reshape(-1, n_shifts, y.shape[-1])  # (G, S, M)
-            feats = jnp.einsum("bs,gsm->gbm", pos_weights.astype(jnp.float32), preds)
+            feats = jnp.einsum("bs,gsm->gbm", pos_weights.astype(jnp.float32), preds, precision=precision)
             return feats.reshape(preds.shape[0], -1)
 
         self._forward_project = _forward_project
@@ -196,7 +196,7 @@ class BelugaRunner:
             rc_offsets = tuple(extra - o for o in offsets)
             y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_offsets, precision=precision).astype(jnp.float32)
             preds = (y + y_rc) * 0.5  # (N, O, M)
-            feats = jnp.einsum("bs,nsm->nbm", pos_weights.astype(jnp.float32), preds)
+            feats = jnp.einsum("bs,nsm->nbm", pos_weights.astype(jnp.float32), preds, precision=precision)
             return feats.reshape(preds.shape[0], -1)
 
         self._forward_spans_project = _forward_spans_project
@@ -224,11 +224,11 @@ class BelugaRunner:
                 return (y + y_rc) * 0.5  # (N, S, M)
 
             def feats(p):
-                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
+                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p, precision=precision)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(preds_of(ref_spans)) @ W + bias
-            ALT = feats(preds_of(alt_spans)) @ W + bias
+            REF = jnp.dot(feats(preds_of(ref_spans)), W, precision=precision) + bias
+            ALT = jnp.dot(feats(preds_of(alt_spans)), W, precision=precision) + bias
             return REF, ALT
 
         self._score_spans = _score_spans
@@ -283,11 +283,11 @@ class BelugaRunner:
             p_ref, p_alt = _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos)
 
             def feats(p):
-                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p)
+                f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p, precision=precision)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(p_ref) @ W + bias
-            ALT = feats(p_alt) @ W + bias
+            REF = jnp.dot(feats(p_ref), W, precision=precision) + bias
+            ALT = jnp.dot(feats(p_alt), W, precision=precision) + bias
             return REF, ALT
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
@@ -317,11 +317,11 @@ class BelugaRunner:
             p_ref, p_alt = _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos)
 
             def feats(p):
-                f = jnp.einsum("srb,rsm->rbm", basis_rows.astype(jnp.float32), p)
+                f = jnp.einsum("srb,rsm->rbm", basis_rows.astype(jnp.float32), p, precision=precision)
                 return f.reshape(p.shape[0], -1)
 
-            REF = feats(jnp.take(p_ref, row_uidx, axis=0)) @ W + bias
-            ALT = feats(jnp.take(p_alt, row_uidx, axis=0)) @ W + bias
+            REF = jnp.dot(feats(jnp.take(p_ref, row_uidx, axis=0)), W, precision=precision) + bias
+            ALT = jnp.dot(feats(jnp.take(p_alt, row_uidx, axis=0)), W, precision=precision) + bias
             return REF, ALT
 
         self._score_spans_packed2_rows = _score_spans_packed2_rows

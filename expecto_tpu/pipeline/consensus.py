@@ -146,14 +146,17 @@ def _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtyp
     inverse_per_shift: list[np.ndarray] = []
     offsets_per_shift: list[int] = []
     total = 0
+    budget = n_records * n_shifts / WINDOW_DEDUP_MIN_REDUNDANCY
     for s in range(n_shifts):
+        if total > budget:  # redundancy can no longer clear the crossover
+            return None
         uniq, inv = np.unique(all_windows[:, s], axis=0, return_inverse=True)
         uniq_blocks.append(uniq)
         inverse_per_shift.append(np.asarray(inv).ravel())
         offsets_per_shift.append(total)
         total += uniq.shape[0]
 
-    if total * WINDOW_DEDUP_MIN_REDUNDANCY > n_records * n_shifts:
+    if total > budget:
         return None
 
     preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
@@ -163,21 +166,23 @@ def _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtyp
     return out
 
 
-def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32):
+def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32, *, window_dedup=True):
     """(n_records, n_shifts, 2002) fwd/RC-averaged predictions for a list of
     (seq, strand), using the span-amortized runner path when available.
 
     Identical spans are predicted **once**: personal-genome consensus
     sequences share haplotypes across individuals (and homozygous regions
     repeat verbatim), so deduplicating before the conv stack removes entire
-    samples' worth of compute on real GEUVADIS cohorts.
+    samples' worth of compute on real GEUVADIS cohorts. Pass
+    ``window_dedup=False`` on paths whose records are known-distinct genes
+    (the redundancy probe would always fail) to skip the probe cost.
 
     ``dtype=np.float16`` halves the device->host fetch (the path's
     bottleneck on bandwidth-limited links); sigmoid track probabilities fit
     fp16, and the reference itself rewrites these h5s to fp16 in
     compress_consensus.py:12-69."""
     dtype = np.dtype(dtype)
-    if len(seqs_and_strands) >= 8:
+    if window_dedup and len(seqs_and_strands) >= 8:
         # cohort-sized record sets: per-window dedup wins when the cohort's
         # windows are sufficiently redundant (falls through otherwise)
         out = _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtype)
@@ -208,6 +213,33 @@ def consensus_features(preds: np.ndarray, shifts=None) -> np.ndarray:
     pos_weights = gene_pos_weights(gene_shifts() if shifts is None else shifts)
     feats = project_features(pos_weights, preds.transpose(1, 0, 2))  # (n, 20020)
     return pad_legacy_20030(feats)
+
+
+def _predict_consensus_features(runner, seqs_and_strands, shifts) -> np.ndarray:
+    """(n_records, 20030) legacy-padded decay features, projected **on
+    device** when the runner supports it (runner.predict_spans_project).
+
+    The ref/eQTL consensus paths never store chromatin predictions, so
+    fetching raw (200, 2002) tracks per record (~1.6 MB) just to project
+    them host-side wastes 20x device->host bandwidth vs the 10x2002
+    projected features (~80 KB)."""
+    use_shifts = list(gene_shifts() if shifts is None else shifts)
+    if hasattr(runner, "predict_spans_project"):
+        pw = gene_pos_weights(use_shifts)
+        by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+        for i, (seq, strand) in enumerate(seqs_and_strands):
+            span, offsets = consensus_span_and_offsets(seq, strand, shifts=use_shifts)
+            by_offsets.setdefault(offsets, []).append((i, span))
+        out = np.empty((len(seqs_and_strands), pw.shape[0] * 2002), dtype=np.float32)
+        for offsets, items in by_offsets.items():
+            rows = np.stack([sp for _, sp in items])
+            uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+            feats = runner.predict_spans_project(uniq, offsets, pw)
+            for (idx, _), j in zip(items, np.asarray(inverse).ravel()):
+                out[idx] = feats[j]
+        return pad_legacy_20030(out)
+    preds = _predict_consensus_preds(runner, seqs_and_strands, use_shifts, window_dedup=False)
+    return consensus_features(preds.astype(np.float32), use_shifts)
 
 
 def _match_features(feats: np.ndarray, model: GBLinearModel) -> np.ndarray:
@@ -396,9 +428,15 @@ def predict_ref_all_genes(
     *,
     shifts=None,
     progress: bool = False,
+    genes_per_call: int = 32,
 ) -> pd.DataFrame:
     """C19: reference-haplotype predictions for all genes -> ref_preds.csv
-    (geuvadis_predict_ref_all_genes.py:23-106)."""
+    (geuvadis_predict_ref_all_genes.py:23-106).
+
+    Genes are batched ``genes_per_call`` at a time through one runner call:
+    the per-gene compute is only a few ms, so per-gene dispatch would be
+    dominated by the fixed host<->device round-trip on relay-attached chips
+    (24,338 single-record calls on the full gene set)."""
     os.makedirs(out_dir, exist_ok=True)
     bst = load_expression_model(expecto_model_path.strip())
 
@@ -406,22 +444,23 @@ def predict_ref_all_genes(
     genes_df["gene_symbol"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"])
     genes_df = genes_df.set_index("gene_symbol")
 
-    ref_preds_out = []
-    index = genes_df.index
+    gene_rows = list(zip(genes_df.index, genes_df["strand"]))
+    groups = [gene_rows[i : i + genes_per_call] for i in range(0, len(gene_rows), genes_per_call)]
     if progress:
         from tqdm import tqdm
 
-        index = tqdm(index)
-    for gene in index:
-        strand = genes_df.loc[gene, "strand"]
-        records = list(parse_fasta(f"{consensus_dir}/{gene.lower()}/ref.fa"))
-        if len(records) != 1:
-            raise AssertionError(f"Expected 1 record in ref.fa for {gene}, got {len(records)}")
-        rec_id, seq = records[0]
-        seq = pad_enformer_seq(rec_id, seq)
-        preds = _predict_consensus_preds(runner, [(seq, strand)], shifts)
-        feats = _match_features(consensus_features(preds, shifts), bst)
-        ref_preds_out.append(float(bst.predict(feats)[0]))
+        groups = tqdm(groups)
+    ref_preds_out = []
+    for group in groups:
+        seqs = []
+        for gene, strand in group:
+            records = list(parse_fasta(f"{consensus_dir}/{gene.lower()}/ref.fa"))
+            if len(records) != 1:
+                raise AssertionError(f"Expected 1 record in ref.fa for {gene}, got {len(records)}")
+            rec_id, seq = records[0]
+            seqs.append((pad_enformer_seq(rec_id, seq), strand))
+        feats = _match_features(_predict_consensus_features(runner, seqs, shifts), bst)
+        ref_preds_out.extend(float(x) for x in bst.predict(feats))
 
     df = pd.DataFrame({"genes": np.array(genes_df.index.values), "ref_preds": np.array(ref_preds_out)})
     df.to_csv(f"{out_dir}/ref_preds.csv", header=True, index=False)
@@ -452,7 +491,11 @@ def sed_for_top_eqtls(
     strand_by_gene = all_eqtls_df.drop_duplicates("gene").set_index("gene")["strand"]
     eqtls_df["strand"] = eqtls_df["name"].str.lower().map(strand_by_gene)
 
-    genes, ref_pred_list, alt_pred_list = [], [], []
+    # validate every eQTL row and build the (ref, alt) sequence pairs first,
+    # then predict all pairs through batched runner calls — per-pair dispatch
+    # would pay the fixed host<->device round-trip once per eQTL for a few ms
+    # of compute
+    genes, pairs = [], []
     for _, eqtl in eqtls_df.iterrows():
         gene = str(eqtl["name"]).lower()
         strand = eqtl["strand"]
@@ -480,12 +523,18 @@ def sed_for_top_eqtls(
         alt_seq = ref_seq[:snp_i] + str(eqtl["ALT"]) + ref_seq[snp_i + 1 :]
 
         genes.append(eqtl["name"])
-        pair = _predict_consensus_preds(runner, [(ref_seq, strand), (alt_seq, strand)], shifts)
-        ref_pred_list.append(pair[0])
-        alt_pred_list.append(pair[1])
+        pairs.append(((ref_seq, strand), (alt_seq, strand)))
 
-    ref_feats = _match_features(consensus_features(np.stack(ref_pred_list), shifts), bst)
-    alt_feats = _match_features(consensus_features(np.stack(alt_pred_list), shifts), bst)
+    ref_feat_list, alt_feat_list = [], []
+    pairs_per_call = 16
+    for i in range(0, len(pairs), pairs_per_call):
+        chunk = pairs[i : i + pairs_per_call]
+        feats = _predict_consensus_features(runner, [sq for pair in chunk for sq in pair], shifts)
+        ref_feat_list.extend(feats[0::2])
+        alt_feat_list.extend(feats[1::2])
+
+    ref_feats = _match_features(np.stack(ref_feat_list), bst)
+    alt_feats = _match_features(np.stack(alt_feat_list), bst)
     ref_out = bst.predict(ref_feats)
     alt_out = bst.predict(alt_feats)
 

@@ -366,3 +366,54 @@ def test_window_dedup_cohort_matches_span_path():
     # a cohort of fully distinct sequences must NOT take the dedup path
     distinct = [(_random_seq(rng, ENFORMER_SEQ_LENGTH), "+") for _ in range(8)]
     assert _predict_consensus_preds_window_dedup(runner, distinct, TEST_SHIFTS, np.float32) is None
+
+
+def test_ref_all_genes_batched_matches_per_gene(consensus_tree):
+    """Grouped runner calls (genes_per_call>1) must produce the same
+    ref_preds.csv as one call per gene, with fewer runner dispatches."""
+
+    class CallCountingRunner(FakeRunner):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def predict_codes(self, codes, average_rc=False):
+            self.calls += 1
+            return super().predict_codes(codes, average_rc=average_rc)
+
+    tmp_path, model, cdir, gfile = consensus_tree
+    r_batched = CallCountingRunner()
+    df_b = predict_ref_all_genes(
+        model, cdir, gfile, r_batched, str(tmp_path / "rb"), shifts=TEST_SHIFTS, genes_per_call=8
+    )
+    calls_batched = r_batched.calls
+    r_single = CallCountingRunner()
+    df_s = predict_ref_all_genes(
+        model, cdir, gfile, r_single, str(tmp_path / "rs"), shifts=TEST_SHIFTS, genes_per_call=1
+    )
+    assert calls_batched < r_single.calls
+    np.testing.assert_allclose(df_b["ref_preds"].values, df_s["ref_preds"].values, rtol=1e-6)
+    assert list(df_b["genes"]) == list(df_s["genes"])
+
+
+def test_fused_projection_matches_host_path():
+    """_predict_consensus_features via runner.predict_spans_project must match
+    the raw-preds + host-side projection fallback."""
+    from expecto_tpu.ops.decay import project_features
+    from expecto_tpu.pipeline.consensus import _predict_consensus_features
+
+    class SpanProjRunner(FakeRunner):
+        def predict_spans_project(self, span_codes, offsets, pos_weights):
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                preds = self.predict_codes(wins, average_rc=True)  # (S, M)
+                out.append(project_features(pos_weights, preds[:, None, :])[0])
+            return np.stack(out).astype(np.float32)
+
+    rng = np.random.default_rng(21)
+    seqs = [(_random_seq(rng, ENFORMER_SEQ_LENGTH), s) for s in ("+", "-", "+")]
+    fused = _predict_consensus_features(SpanProjRunner(), seqs, TEST_SHIFTS)
+    host = _predict_consensus_features(FakeRunner(), seqs, TEST_SHIFTS)
+    assert fused.shape == host.shape == (3, 20030)
+    np.testing.assert_allclose(fused, host, rtol=1e-4, atol=1e-5)
