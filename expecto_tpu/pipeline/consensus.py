@@ -119,34 +119,32 @@ def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize
     return codes[lo:hi].astype(np.int8), tuple(st - lo for st in starts)
 
 
-#: a lone 2-kb window forward costs ~10x a span-amortized one, so the
-#: per-window dedup path must remove >~10x of the windows to win
+#: a lone 2-kb window forward costs ~10x a span-amortized one, so against a
+#: span-capable runner the per-window dedup path must remove >~10x of the
+#: (already span-deduplicated) windows to win
 WINDOW_DEDUP_MIN_REDUNDANCY = 10.0
 
 
-def _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtype):
+def _predict_window_dedup(runner, all_windows, budget, dtype):
     """Per-shift-window dedup: personal genomes differ at ~0.1% of sites, so
     each 2,000-bp shift window has only a few unique sequences across a
     cohort (a window covers ~2 SNPs -> <=4 haplotypes). Predict each unique
     window once and gather per record — on a 445-individual GEUVADIS gene
     this replaces ~89,000 window forwards with a few hundred.
 
+    Args:
+        all_windows: (R, S, 2000) int8 window codes of the (record-unique)
+            cohort.
+        budget: max number of lone-window forwards that still beats the
+            fallback path this competes with.
+
     Returns None when the measured redundancy doesn't clear the cost
-    crossover (cohorts of mostly-distinct sequences).
-    """
-    n_records = len(seqs_and_strands)
-    use_shifts = list(gene_shifts() if shifts is None else shifts)
-    n_shifts = len(use_shifts)
-
-    all_windows = np.stack(
-        [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in seqs_and_strands]
-    )  # (R, S, 2000)
-
+    crossover (cohorts of mostly-distinct sequences)."""
+    n_records, n_shifts = all_windows.shape[:2]
     uniq_blocks: list[np.ndarray] = []
     inverse_per_shift: list[np.ndarray] = []
     offsets_per_shift: list[int] = []
     total = 0
-    budget = n_records * n_shifts / WINDOW_DEDUP_MIN_REDUNDANCY
     for s in range(n_shifts):
         if total > budget:  # redundancy can no longer clear the crossover
             return None
@@ -155,7 +153,6 @@ def _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtyp
         inverse_per_shift.append(np.asarray(inv).ravel())
         offsets_per_shift.append(total)
         total += uniq.shape[0]
-
     if total > budget:
         return None
 
@@ -166,45 +163,94 @@ def _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtyp
     return out
 
 
+def _predict_span_groups(seqs_and_strands, shifts, predict_group, out):
+    """Shared span-path scaffolding: group records by their span-offset
+    layout (strand flips the offset order), predict each group's **unique**
+    spans via ``predict_group(uniq_rows, offsets)``, and scatter results
+    back to per-record rows of ``out``."""
+    by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+    for i, (seq, strand) in enumerate(seqs_and_strands):
+        span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
+        by_offsets.setdefault(offsets, []).append((i, span))
+    for offsets, items in by_offsets.items():
+        rows = np.stack([sp for _, sp in items])
+        uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+        res = predict_group(uniq, offsets)
+        for (idx, _), j in zip(items, np.asarray(inverse).ravel()):
+            out[idx] = res[j].astype(out.dtype)
+    return out
+
+
 def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32, *, window_dedup=True):
     """(n_records, n_shifts, 2002) fwd/RC-averaged predictions for a list of
     (seq, strand), using the span-amortized runner path when available.
 
-    Identical spans are predicted **once**: personal-genome consensus
-    sequences share haplotypes across individuals (and homozygous regions
-    repeat verbatim), so deduplicating before the conv stack removes entire
-    samples' worth of compute on real GEUVADIS cohorts. Pass
-    ``window_dedup=False`` on paths whose records are known-distinct genes
-    (the redundancy probe would always fail) to skip the probe cost.
+    Identical records (shared haplotypes / homozygous cohorts) are predicted
+    **once** and gathered per record; within the surviving unique records,
+    per-shift window dedup kicks in when cohort windows are redundant enough
+    to beat the span path (few-SNP cohorts). Pass ``window_dedup=False`` on
+    paths whose records are known-distinct genes (the probe would always
+    fail) to skip the probe cost.
+
+    Note the engine picks between the span kernel and the lone-window kernel
+    by measured redundancy, so chromatin values for the same sample can
+    differ by the usual span-vs-window reduction-order band (~1e-5 fp32)
+    depending on cohort composition — do not exact-compare h5s across runs
+    with different cohorts.
 
     ``dtype=np.float16`` halves the device->host fetch (the path's
     bottleneck on bandwidth-limited links); sigmoid track probabilities fit
     fp16, and the reference itself rewrites these h5s to fp16 in
     compress_consensus.py:12-69."""
     dtype = np.dtype(dtype)
-    if window_dedup and len(seqs_and_strands) >= 8:
-        # cohort-sized record sets: per-window dedup wins when the cohort's
-        # windows are sufficiently redundant (falls through otherwise)
-        out = _predict_consensus_preds_window_dedup(runner, seqs_and_strands, shifts, dtype)
-        if out is not None:
-            return out
-    if hasattr(runner, "predict_span_codes"):
-        by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
-        for i, (seq, strand) in enumerate(seqs_and_strands):
-            span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
-            by_offsets.setdefault(offsets, []).append((i, span))
-        n_shifts = len(shifts) if shifts is not None else 200
-        out = np.empty((len(seqs_and_strands), n_shifts, 2002), dtype=dtype)
-        for offsets, items in by_offsets.items():
-            rows = np.stack([sp for _, sp in items])
-            uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
-            preds = runner.predict_span_codes(uniq, offsets, rc_mode="average")
-            for (idx, _), j in zip(items, np.asarray(inverse).ravel()):
-                out[idx] = preds[j].astype(dtype)
-        return out
-    all_codes = [consensus_window_codes(seq, strand, shifts=shifts) for seq, strand in seqs_and_strands]
-    flat = runner.predict_codes(np.concatenate(all_codes, axis=0), average_rc=True).astype(dtype)
-    return flat.reshape(len(seqs_and_strands), -1, flat.shape[-1])
+    n_total = len(seqs_and_strands)
+    # record-level dedup: byte-identical (seq, strand) records collapse to one
+    uniq_index: dict[tuple, int] = {}
+    rec_to_uniq = np.empty(n_total, dtype=np.int64)
+    uniq_records: list[tuple[str, str]] = []
+    for i, rec in enumerate(seqs_and_strands):
+        j = uniq_index.setdefault(rec, len(uniq_records))
+        if j == len(uniq_records):
+            uniq_records.append(rec)
+        rec_to_uniq[i] = j
+    n_u = len(uniq_records)
+
+    use_shifts = list(gene_shifts() if shifts is None else shifts)
+    n_shifts = len(use_shifts)
+    has_spans = hasattr(runner, "predict_span_codes")
+
+    preds_u = None
+    all_windows = None
+    if window_dedup and n_u >= (8 if has_spans else 2):
+        all_windows = np.stack(
+            [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
+        )  # (n_u, S, 2000)
+        # vs a span runner the fallback costs n_u spans (1 span ~= n_shifts
+        # amortized windows, a lone window ~= 10x one); vs a window runner
+        # any reduction below n_u * n_shifts lone windows wins
+        budget = n_u * n_shifts / WINDOW_DEDUP_MIN_REDUNDANCY if has_spans else n_u * n_shifts
+        preds_u = _predict_window_dedup(runner, all_windows, budget, dtype)
+
+    if preds_u is None:
+        if has_spans:
+            preds_u = np.empty((n_u, n_shifts, 2002), dtype=dtype)
+            _predict_span_groups(
+                uniq_records,
+                use_shifts,
+                lambda uniq, offsets: runner.predict_span_codes(uniq, offsets, rc_mode="average"),
+                preds_u,
+            )
+        else:
+            if all_windows is None:
+                all_windows = np.stack(
+                    [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
+                )
+            flat = runner.predict_codes(
+                all_windows.reshape(-1, all_windows.shape[-1]), average_rc=True
+            ).astype(dtype)
+            preds_u = flat.reshape(n_u, n_shifts, flat.shape[-1])
+
+    return preds_u if n_u == n_total else preds_u[rec_to_uniq]
 
 
 def consensus_features(preds: np.ndarray, shifts=None) -> np.ndarray:
@@ -226,17 +272,13 @@ def _predict_consensus_features(runner, seqs_and_strands, shifts) -> np.ndarray:
     use_shifts = list(gene_shifts() if shifts is None else shifts)
     if hasattr(runner, "predict_spans_project"):
         pw = gene_pos_weights(use_shifts)
-        by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
-        for i, (seq, strand) in enumerate(seqs_and_strands):
-            span, offsets = consensus_span_and_offsets(seq, strand, shifts=use_shifts)
-            by_offsets.setdefault(offsets, []).append((i, span))
         out = np.empty((len(seqs_and_strands), pw.shape[0] * 2002), dtype=np.float32)
-        for offsets, items in by_offsets.items():
-            rows = np.stack([sp for _, sp in items])
-            uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
-            feats = runner.predict_spans_project(uniq, offsets, pw)
-            for (idx, _), j in zip(items, np.asarray(inverse).ravel()):
-                out[idx] = feats[j]
+        _predict_span_groups(
+            seqs_and_strands,
+            use_shifts,
+            lambda uniq, offsets: runner.predict_spans_project(uniq, offsets, pw),
+            out,
+        )
         return pad_legacy_20030(out)
     preds = _predict_consensus_preds(runner, seqs_and_strands, use_shifts, window_dedup=False)
     return consensus_features(preds.astype(np.float32), use_shifts)
@@ -476,6 +518,7 @@ def sed_for_top_eqtls(
     out_dir: str,
     *,
     shifts=None,
+    pairs_per_call: int = 16,
 ) -> pd.DataFrame:
     """C20: eQTL SED on consensus backbones with ref-allele validation
     asserts (geuvadis_sed_for_top_eqtls.py:21-135,201-235)."""
@@ -526,7 +569,6 @@ def sed_for_top_eqtls(
         pairs.append(((ref_seq, strand), (alt_seq, strand)))
 
     ref_feat_list, alt_feat_list = [], []
-    pairs_per_call = 16
     for i in range(0, len(pairs), pairs_per_call):
         chunk = pairs[i : i + pairs_per_call]
         feats = _predict_consensus_features(runner, [sq for pair in chunk for sq in pair], shifts)

@@ -335,37 +335,105 @@ def test_consensus_preds_dedup_identical_spans(tmp_path):
     assert not np.array_equal(preds[0], preds[1])
 
 
-def test_window_dedup_cohort_matches_span_path():
-    """A cohort differing at a few SNPs takes the per-window dedup path;
-    results must match the span-amortized per-record path."""
-    from expecto_tpu.pipeline.consensus import (
-        _predict_consensus_preds,
-        _predict_consensus_preds_window_dedup,
-    )
+class WindowCountingRunner(FakeRunner):
+    """FakeRunner that counts how many lone windows it was asked to predict."""
 
-    rng = np.random.default_rng(16)
+    def __init__(self):
+        super().__init__()
+        self.windows_seen = 0
+
+    def predict_codes(self, codes, average_rc=False):
+        self.windows_seen += codes.shape[0]
+        return super().predict_codes(codes, average_rc=average_rc)
+
+
+def _snp_cohort(rng, n):
+    """n samples sharing a backbone, differing at 2 SNP sites near the TSS."""
     backbone = _random_seq(rng, ENFORMER_SEQ_LENGTH)
     tss = ENFORMER_SEQ_LENGTH // 2
     cohort = []
-    for b in range(48):
+    for b in range(n):
         seq = list(backbone)
-        # 2 SNP sites shared across the cohort, genotype varies by sample
         for site in (tss - 300, tss + 150):
             if (b >> (0 if site < tss else 1)) & 1:
                 seq[site] = "T" if seq[site] != "T" else "C"
         cohort.append(("".join(seq), "+"))
+    return cohort
 
-    runner = FakeRunner()
-    dedup = _predict_consensus_preds_window_dedup(runner, cohort, TEST_SHIFTS, np.float32)
-    assert dedup is not None, "redundant cohort must clear the dedup threshold"
+
+def test_window_dedup_cohort_matches_per_record_path():
+    """A cohort differing at a few SNPs takes the per-window dedup path
+    (far fewer lone windows predicted); results must match the per-record
+    path."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    cohort = _snp_cohort(np.random.default_rng(16), 48)
+    runner = WindowCountingRunner()
+    dedup = _predict_consensus_preds(runner, cohort, TEST_SHIFTS)
+    assert runner.windows_seen < 48 * len(TEST_SHIFTS) / 4, "dedup must collapse shared windows"
     per_record = np.stack([
-        _predict_consensus_preds(runner, [c], TEST_SHIFTS)[0] for c in cohort
+        _predict_consensus_preds(FakeRunner(), [c], TEST_SHIFTS)[0] for c in cohort
     ])
     np.testing.assert_allclose(dedup, per_record, rtol=1e-5, atol=1e-6)
 
-    # a cohort of fully distinct sequences must NOT take the dedup path
+
+def test_distinct_cohort_prefers_span_path():
+    """Fully distinct records must NOT take the lone-window dedup path when
+    the runner supports span-amortized prediction."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    class SpanOnlyCountingRunner(FakeRunner):
+        def __init__(self):
+            super().__init__()
+            self.span_rows = 0
+            self.lone_windows = 0
+
+        def predict_codes(self, codes, average_rc=False):
+            self.lone_windows += codes.shape[0]
+            return super().predict_codes(codes, average_rc=average_rc)
+
+        def predict_span_codes(self, span_codes, offsets, rc_mode="none"):
+            self.span_rows += span_codes.shape[0]
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                out.append(super().predict_codes(wins, average_rc=(rc_mode == "average")))
+            return np.stack(out)
+
+    rng = np.random.default_rng(17)
     distinct = [(_random_seq(rng, ENFORMER_SEQ_LENGTH), "+") for _ in range(8)]
-    assert _predict_consensus_preds_window_dedup(runner, distinct, TEST_SHIFTS, np.float32) is None
+    runner = SpanOnlyCountingRunner()
+    _ = _predict_consensus_preds(runner, distinct, TEST_SHIFTS)
+    assert runner.lone_windows == 0 and runner.span_rows == 8
+
+
+def test_homozygous_cohort_collapses_to_one_span():
+    """A cohort of byte-identical records must cost ONE span forward (record
+    dedup), not per-shift lone-window forwards (the dedup-budget inversion
+    case)."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    class SpanCountingRunner(FakeRunner):
+        def __init__(self):
+            super().__init__()
+            self.span_rows = 0
+
+        def predict_span_codes(self, span_codes, offsets, rc_mode="none"):
+            self.span_rows += span_codes.shape[0]
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                out.append(self.predict_codes(wins, average_rc=(rc_mode == "average")))
+            return np.stack(out)
+
+    seq = _random_seq(np.random.default_rng(18), ENFORMER_SEQ_LENGTH)
+    cohort = [(seq, "+")] * 40
+    runner = SpanCountingRunner()
+    preds = _predict_consensus_preds(runner, cohort, TEST_SHIFTS)
+    assert runner.span_rows == 1
+    assert preds.shape[0] == 40
+    for r in range(1, 40):
+        np.testing.assert_array_equal(preds[0], preds[r])
 
 
 def test_ref_all_genes_batched_matches_per_gene(consensus_tree):
