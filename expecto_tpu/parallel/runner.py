@@ -229,7 +229,11 @@ class BelugaRunner:
 
             REF = jnp.dot(feats(preds_of(ref_spans)), W, precision=precision) + bias
             ALT = jnp.dot(feats(preds_of(alt_spans)), W, precision=precision) + bias
-            return REF, ALT
+            # wire format: (REF, SED) at out_dtype. SED = ALT - REF computed
+            # in fp32 on device keeps its RELATIVE precision through an fp16
+            # fetch; rounding REF and ALT separately would put ~1e-3 absolute
+            # noise on their small difference
+            return REF.astype(jnp_out), (ALT - REF).astype(jnp_out)
 
         self._score_spans = _score_spans
 
@@ -288,7 +292,7 @@ class BelugaRunner:
 
             REF = jnp.dot(feats(p_ref), W, precision=precision) + bias
             ALT = jnp.dot(feats(p_alt), W, precision=precision) + bias
-            return REF, ALT
+            return REF.astype(jnp_out), (ALT - REF).astype(jnp_out)
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len", "mutpos"))
         def _score_spans_packed(params, packed_ref, alt_allele, basis, W, bias, offsets, span_len, mutpos):
@@ -322,9 +326,30 @@ class BelugaRunner:
 
             REF = jnp.dot(feats(jnp.take(p_ref, row_uidx, axis=0)), W, precision=precision) + bias
             ALT = jnp.dot(feats(jnp.take(p_alt, row_uidx, axis=0)), W, precision=precision) + bias
-            return REF, ALT
+            return REF.astype(jnp_out), (ALT - REF).astype(jnp_out)
 
         self._score_spans_packed2_rows = _score_spans_packed2_rows
+
+    @property
+    def _basis_wire_dtype(self):
+        # decay-basis weights are in (0, 1]; fp16 transfer loses nothing
+        # beyond the production mode's bf16 matmul precision. Parity mode
+        # (fp32 fetch) keeps an fp32 wire.
+        return np.float16 if self.out_dtype == np.float16 else np.float32
+
+    @staticmethod
+    def _write_ref_sed(REF: np.ndarray, ALT: np.ndarray):
+        """write() for the fused scoring paths: the wire carries (REF, SED);
+        ALT is reconstructed as REF + SED in fp32 on host."""
+
+        def write(key, r0, pair):
+            s0 = key[0] if isinstance(key, tuple) else key
+            rr, ss = pair
+            ref = np.asarray(rr)[:r0].astype(np.float32)
+            REF[s0 : s0 + r0] = ref
+            ALT[s0 : s0 + r0] = ref + np.asarray(ss)[:r0].astype(np.float32)
+
+        return write
 
     def _run_pipelined(self, jobs, write):
         """Drain a stream of (start, real, device_result) with up to
@@ -496,6 +521,7 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
+        basis_wire = basis.astype(self._basis_wire_dtype)
 
         def jobs():
             for start in range(0, n, rows):
@@ -504,7 +530,7 @@ class BelugaRunner:
                 pad = rows - real
                 r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
                 a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
-                b_chunk = np.pad(basis[:, start:end], ((0, 0), (0, pad), (0, 0)))
+                b_chunk = np.pad(basis_wire[:, start:end], ((0, 0), (0, pad), (0, 0)))
                 yield start, real, self._score_spans(
                     self.params,
                     jax.device_put(r_chunk, self._batch_sharding),
@@ -515,12 +541,7 @@ class BelugaRunner:
                     offsets,
                 )
 
-        def write(s0, r0, pair):
-            rr, aa = pair
-            REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
-            ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
-
-        self._run_pipelined(jobs(), write)
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
         return REF, ALT
 
     def score_variant_spans_packed(
@@ -552,10 +573,12 @@ class BelugaRunner:
         plan = self._pack2_plan(ref_spans, rows)
         packed_all = None if plan is not None else pack_codes(ref_spans)
 
+        basis_wire = basis.astype(self._basis_wire_dtype)
+
         def _aux(start, real):
             pad = rows - real
             a_chunk = np.pad(alt_alleles[start : start + real], ((0, pad), (0, 0)), constant_values=-1)
-            b_chunk = np.pad(basis[:, start : start + real], ((0, 0), (0, pad), (0, 0)))
+            b_chunk = np.pad(basis_wire[:, start : start + real], ((0, 0), (0, pad), (0, 0)))
             return a_chunk, (jnp.asarray(b_chunk), W_dev, bias_dev, offsets, span_len, int(mutpos))
 
         def jobs():
@@ -582,12 +605,7 @@ class BelugaRunner:
                         *common,
                     )
 
-        def write(s0, r0, pair):
-            rr, aa = pair
-            REF[s0 : s0 + r0] = np.asarray(rr)[:r0]
-            ALT[s0 : s0 + r0] = np.asarray(aa)[:r0]
-
-        self._run_pipelined(jobs(), write)
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
         return REF, ALT
 
     def score_variant_spans_packed_rows(
@@ -628,6 +646,7 @@ class BelugaRunner:
         REF = np.empty((n_rows_total, k), dtype=np.float32)
         ALT = np.empty((n_rows_total, k), dtype=np.float32)
 
+        basis_wire = basis_rows.astype(self._basis_wire_dtype)
         starts = list(range(0, n_u, rows))
         r_bounds = [
             (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
@@ -645,7 +664,7 @@ class BelugaRunner:
                     alt_alleles_u[start : start + real_u], ((0, rows - real_u), (0, 0)), constant_values=-1
                 )
                 b_chunk = np.pad(
-                    basis_rows[:, r0:r1], ((0, 0), (0, r_pad - real_r), (0, 0))
+                    basis_wire[:, r0:r1], ((0, 0), (0, r_pad - real_r), (0, 0))
                 )
                 idx_local = np.zeros(r_pad, np.int32)
                 idx_local[:real_r] = (row_uidx[r0:r1] - start).astype(np.int32)
@@ -664,13 +683,7 @@ class BelugaRunner:
                     int(mutpos),
                 )
 
-        def write(key, real_r, pair):
-            r0, _ = key
-            rr, aa = pair
-            REF[r0 : r0 + real_r] = np.asarray(rr)[:real_r]
-            ALT[r0 : r0 + real_r] = np.asarray(aa)[:real_r]
-
-        self._run_pipelined(jobs(), write)
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
         return REF, ALT
 
     def predict_codes_fwd_rc_concat(self, codes: np.ndarray) -> np.ndarray:

@@ -235,3 +235,38 @@ def test_fc1_delta_identity(params):
     np.testing.assert_allclose(np.asarray(h_ref + delta), np.asarray(h_alt), rtol=2e-4, atol=2e-4)
     # windows not overlapping the patch must have exactly zero delta
     assert np.asarray(jnp.abs(delta)).max() > 0
+
+
+class TestFp16Wire:
+    def test_fp16_wire_preserves_sed_relative_precision(self, params):
+        """out_dtype=fp16 ships (REF, SED) — SED must keep relative
+        precision through the half-precision fetch (rounding REF and ALT
+        separately would put ~1e-3 absolute noise on their difference)."""
+        from expecto_tpu.parallel.runner import BelugaRunner
+
+        maxshift = 400
+        shifts = [0, -200, -400, 200, 400]
+        offsets = tuple(s + maxshift for s in shifts)
+        span_len = 2 * maxshift + 2000
+        mutpos = maxshift + 999
+        rng = np.random.default_rng(23)
+        n = 6
+        ref_spans = rng.integers(0, 4, size=(n, span_len)).astype(np.int8)
+        alt_alleles = ((ref_spans[:, mutpos] + 1) % 4).astype(np.int8)[:, None]
+        basis = rng.random((len(shifts), n, 10)).astype(np.float32)
+        W = (rng.standard_normal((10 * 2002, 3)) * 0.01).astype(np.float32)
+        bias = np.full(3, 2.0, np.float32)
+
+        np_params = jax.tree.map(np.asarray, params)
+        r32 = BelugaRunner(np_params, batch_size=64, out_dtype=np.float32)
+        r16 = BelugaRunner(np_params, batch_size=64, out_dtype=np.float16)
+        REF32, ALT32 = r32.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+        REF16, ALT16 = r16.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+
+        sed32 = ALT32 - REF32
+        sed16 = ALT16 - REF16
+        # REF: absolute fp16 rounding at prediction scale (~2.0)
+        np.testing.assert_allclose(REF16, REF32, atol=3e-3, rtol=0)
+        # SED: relative precision must survive (values span orders of magnitude)
+        denom = np.maximum(np.abs(sed32), 1e-6)
+        assert np.max(np.abs(sed16 - sed32) / denom) < 2e-2
