@@ -77,9 +77,14 @@ def main(argv=None) -> int:
 
     genes = records_from_geneanno(geneanno)
     params = load_params_npz(args.beluga_weights)
+    import numpy as _np
+
     runner = BelugaRunner(
         params, batch_size=args.batchsize,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
+        # bf16 production mode also fetches features/preds over an fp16
+        # wire (~5e-4 relative rounding, host/output arrays stay fp32)
+        out_dtype=_np.float16 if args.bf16 else _np.float32,
         pipeline_depth=6,
     )
 

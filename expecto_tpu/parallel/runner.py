@@ -156,7 +156,9 @@ class BelugaRunner:
             y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
             preds = ((y + y_rc) * 0.5).reshape(-1, n_shifts, y.shape[-1])  # (G, S, M)
             feats = jnp.einsum("bs,gsm->gbm", pos_weights.astype(jnp.float32), preds, precision=precision)
-            return feats.reshape(preds.shape[0], -1)
+            # features ride the configured fetch dtype (fp16 wire in
+            # production: ~5e-4 relative rounding, host arrays stay fp32)
+            return feats.reshape(preds.shape[0], -1).astype(jnp_out)
 
         self._forward_project = _forward_project
 
@@ -197,7 +199,7 @@ class BelugaRunner:
             y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_offsets, precision=precision).astype(jnp.float32)
             preds = (y + y_rc) * 0.5  # (N, O, M)
             feats = jnp.einsum("bs,nsm->nbm", pos_weights.astype(jnp.float32), preds, precision=precision)
-            return feats.reshape(preds.shape[0], -1)
+            return feats.reshape(preds.shape[0], -1).astype(jnp_out)
 
         self._forward_spans_project = _forward_spans_project
 

@@ -249,7 +249,9 @@ def replicate_gene_features(
         os.makedirs(out_dir, exist_ok=True)
     for g in genes:
         codes = gene_window_codes(genome, g.chrom, g.tss, g.strand, windowsize=windowsize)
-        preds = runner.predict_codes(codes, average_rc=True)
+        # fp32 on disk regardless of the runner's wire dtype (the reference
+        # replicator saves fp32 npy; SVD/clustering consumers expect it)
+        preds = runner.predict_codes(codes, average_rc=True).astype(np.float32, copy=False)
         out[g.gene_id] = preds
         if out_dir is not None:
             np.save(os.path.join(out_dir, f"{g.gene_id}.npy"), preds)
