@@ -125,6 +125,23 @@ def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize
 WINDOW_DEDUP_MIN_REDUNDANCY = 10.0
 
 
+def _unique_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Exact row dedup -> (unique_rows, inverse), first-occurrence order.
+
+    ``np.unique(axis=0)`` lexsorts full-width keys (~130 ms per (445, 2000)
+    int8 block — it dominated cohort dedup end-to-end); hashing each row's
+    bytes through a dict is ~50x faster and keeps exactness."""
+    seen: dict[bytes, int] = {}
+    inverse = np.empty(rows.shape[0], dtype=np.int64)
+    keep: list[int] = []
+    for i, r in enumerate(rows):
+        j = seen.setdefault(r.tobytes(), len(keep))
+        if j == len(keep):
+            keep.append(i)
+        inverse[i] = j
+    return rows[keep], inverse
+
+
 def _predict_window_dedup(runner, all_windows, budget, dtype):
     """Per-shift-window dedup: personal genomes differ at ~0.1% of sites, so
     each 2,000-bp shift window has only a few unique sequences across a
@@ -148,9 +165,9 @@ def _predict_window_dedup(runner, all_windows, budget, dtype):
     for s in range(n_shifts):
         if total > budget:  # redundancy can no longer clear the crossover
             return None
-        uniq, inv = np.unique(all_windows[:, s], axis=0, return_inverse=True)
+        uniq, inv = _unique_rows(all_windows[:, s])
         uniq_blocks.append(uniq)
-        inverse_per_shift.append(np.asarray(inv).ravel())
+        inverse_per_shift.append(inv)
         offsets_per_shift.append(total)
         total += uniq.shape[0]
     if total > budget:
@@ -174,9 +191,9 @@ def _predict_span_groups(seqs_and_strands, shifts, predict_group, out):
         by_offsets.setdefault(offsets, []).append((i, span))
     for offsets, items in by_offsets.items():
         rows = np.stack([sp for _, sp in items])
-        uniq, inverse = np.unique(rows, axis=0, return_inverse=True)
+        uniq, inverse = _unique_rows(rows)
         res = predict_group(uniq, offsets)
-        for (idx, _), j in zip(items, np.asarray(inverse).ravel()):
+        for (idx, _), j in zip(items, inverse):
             out[idx] = res[j].astype(out.dtype)
     return out
 
