@@ -92,15 +92,19 @@ def consensus_window_codes(seq: str, strand: str, *, shifts=None, windowsize: in
     """
     shifts = gene_shifts() if shifts is None else shifts
     sgn = {"+": 1, "-": -1}[strand]
-    codes = _BYTE_LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
     tss_i = len(seq) // 2
+    starts = [tss_i + shift * sgn - int(windowsize / 2 - 1) for shift in shifts]
+    for start in starts:
+        if start < 0 or start + windowsize > len(seq):
+            raise AssertionError(
+                f"Expected seq of length {windowsize} but window [{start}:{start + windowsize}] is out of range"
+            )
+    # encode only the covered span (+-21 kb of a 393 kb Enformer sequence)
+    lo, hi = min(starts), max(starts) + windowsize
+    codes = _BYTE_LUT[np.frombuffer(seq[lo:hi].encode("ascii"), dtype=np.uint8)]
     out = np.empty((len(shifts), windowsize), dtype=np.int8)
-    for i, shift in enumerate(shifts):
-        start = tss_i + shift * sgn - int(windowsize / 2 - 1)
-        stop = tss_i + shift * sgn + int(windowsize / 2) + 1
-        if start < 0 or stop > len(seq):
-            raise AssertionError(f"Expected seq of length {windowsize} but window [{start}:{stop}] is out of range")
-        out[i] = codes[start:stop]
+    for i, start in enumerate(starts):
+        out[i] = codes[start - lo : start - lo + windowsize]
     return out
 
 
@@ -174,10 +178,18 @@ def _predict_window_dedup(runner, all_windows, budget, dtype):
         return None
 
     preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
-    out = np.empty((n_records, n_shifts, preds_uniq.shape[-1]), dtype=dtype)
+    # build (S, R, M) so each shift's gather is one contiguous write, then
+    # hand back the (R, S, M) transposed view (the projection path
+    # immediately re-transposes to (S, R, M) anyway)
+    out = np.empty((n_shifts, n_records, preds_uniq.shape[-1]), dtype=dtype)
+    same_dtype = preds_uniq.dtype == out.dtype  # np.take(out=) needs equal dtypes
     for s in range(n_shifts):
-        out[:, s] = preds_uniq[offsets_per_shift[s] + inverse_per_shift[s]].astype(dtype)
-    return out
+        idx = offsets_per_shift[s] + inverse_per_shift[s]
+        if same_dtype:
+            np.take(preds_uniq, idx, axis=0, out=out[s])
+        else:
+            out[s] = preds_uniq[idx]
+    return out.transpose(1, 0, 2)
 
 
 def _predict_span_groups(seqs_and_strands, shifts, predict_group, out):
