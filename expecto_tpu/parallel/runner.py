@@ -150,7 +150,7 @@ class BelugaRunner:
 
         @functools.partial(jax.jit, static_argnames=("n_shifts",))
         def _forward_project(params, codes, pos_weights, n_shifts: int):
-            # codes: (G*S, L); pos_weights: (B, S). Returns (G, B*M) float32.
+            # codes: (G*S, L); pos_weights: (B, S). Returns (G, B*M) at jnp_out.
             x = onehot_from_codes(codes, dtype=compute_dtype)
             y = beluga_forward(params, x, precision=precision).astype(jnp.float32)
             y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
@@ -340,16 +340,19 @@ class BelugaRunner:
         return np.float16 if self.out_dtype == np.float16 else np.float32
 
     @staticmethod
-    def _write_ref_sed(REF: np.ndarray, ALT: np.ndarray):
+    def _write_ref_sed(REF: np.ndarray, ALT: np.ndarray, SED: np.ndarray):
         """write() for the fused scoring paths: the wire carries (REF, SED);
-        ALT is reconstructed as REF + SED in fp32 on host."""
+        SED is stored exactly as the device computed it (fp32 before the
+        fetch cast) and ALT is reconstructed as REF + SED in fp32 on host."""
 
         def write(key, r0, pair):
             s0 = key[0] if isinstance(key, tuple) else key
             rr, ss = pair
             ref = np.asarray(rr)[:r0].astype(np.float32)
+            sed = np.asarray(ss)[:r0].astype(np.float32)
             REF[s0 : s0 + r0] = ref
-            ALT[s0 : s0 + r0] = ref + np.asarray(ss)[:r0].astype(np.float32)
+            SED[s0 : s0 + r0] = sed
+            ALT[s0 : s0 + r0] = ref + sed
 
         return write
 
@@ -508,9 +511,11 @@ class BelugaRunner:
         basis: np.ndarray,
         W: np.ndarray,
         bias: np.ndarray,
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fused SED serving: (N, span_len) ref/alt spans + (S, N, B) decay
-        basis + stacked model weights (F, K) -> (REF, ALT) of shape (N, K).
+        basis + stacked model weights (F, K) -> (REF, ALT, SED), each (N, K);
+        SED carries the device-computed ALT - REF exactly (fp32 before the
+        fetch cast), so small effects never suffer host-side cancellation.
         Only per-model scalars leave the device (~3 KB/variant for the full
         218-tissue modellist vs ~144 KB of track outputs)."""
         ref_spans = np.asarray(ref_spans, dtype=np.int8)
@@ -523,7 +528,8 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
-        basis_wire = basis.astype(self._basis_wire_dtype)
+        SED = np.empty((n, k), dtype=np.float32)
+        basis_wire = basis.astype(self._basis_wire_dtype, copy=False)
 
         def jobs():
             for start in range(0, n, rows):
@@ -543,8 +549,8 @@ class BelugaRunner:
                     offsets,
                 )
 
-        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
-        return REF, ALT
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))
+        return REF, ALT, SED
 
     def score_variant_spans_packed(
         self,
@@ -555,7 +561,7 @@ class BelugaRunner:
         basis: np.ndarray,
         W: np.ndarray,
         bias: np.ndarray,
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Transfer-optimized fused serving: ships one 2-bit-packed span per
         variant (N bases in a sparse sideband) plus (N, A) alt-allele codes;
         the alt span is spliced on device at ``mutpos``. ~8x less
@@ -571,11 +577,12 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
         ALT = np.empty((n, k), dtype=np.float32)
+        SED = np.empty((n, k), dtype=np.float32)
 
         plan = self._pack2_plan(ref_spans, rows)
         packed_all = None if plan is not None else pack_codes(ref_spans)
 
-        basis_wire = basis.astype(self._basis_wire_dtype)
+        basis_wire = basis.astype(self._basis_wire_dtype, copy=False)
 
         def _aux(start, real):
             pad = rows - real
@@ -607,8 +614,8 @@ class BelugaRunner:
                         *common,
                     )
 
-        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
-        return REF, ALT
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))
+        return REF, ALT, SED
 
     def score_variant_spans_packed_rows(
         self,
@@ -620,7 +627,7 @@ class BelugaRunner:
         row_uidx: np.ndarray,
         W: np.ndarray,
         bias: np.ndarray,
-    ) -> tuple[np.ndarray, np.ndarray]:
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Fused serving over (variant, gene) rows that share variants: the
         conv/fc stack runs once per UNIQUE span; each row scores its own
         decay basis against an on-device gather of its variant's tracks.
@@ -647,8 +654,9 @@ class BelugaRunner:
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n_rows_total, k), dtype=np.float32)
         ALT = np.empty((n_rows_total, k), dtype=np.float32)
+        SED = np.empty((n_rows_total, k), dtype=np.float32)
 
-        basis_wire = basis_rows.astype(self._basis_wire_dtype)
+        basis_wire = basis_rows.astype(self._basis_wire_dtype, copy=False)
         starts = list(range(0, n_u, rows))
         r_bounds = [
             (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
@@ -685,8 +693,8 @@ class BelugaRunner:
                     int(mutpos),
                 )
 
-        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT))
-        return REF, ALT
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))
+        return REF, ALT, SED
 
     def predict_codes_fwd_rc_concat(self, codes: np.ndarray) -> np.ndarray:
         """Reference-layout output: rows [0:N] forward, [N:2N] reverse

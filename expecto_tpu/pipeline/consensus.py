@@ -119,8 +119,9 @@ def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize
     lo, hi = min(starts), max(starts) + windowsize
     if lo < 0 or hi > len(seq):
         raise AssertionError("consensus span out of range")
-    codes = _BYTE_LUT[np.frombuffer(seq.encode("ascii"), dtype=np.uint8)]
-    return codes[lo:hi].astype(np.int8), tuple(st - lo for st in starts)
+    # encode only the covered span (+-21 kb of a 393 kb Enformer sequence)
+    codes = _BYTE_LUT[np.frombuffer(seq[lo:hi].encode("ascii"), dtype=np.uint8)]
+    return codes.astype(np.int8), tuple(st - lo for st in starts)
 
 
 #: a lone 2-kb window forward costs ~10x a span-amortized one, so against a

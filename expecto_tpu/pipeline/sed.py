@@ -284,12 +284,12 @@ def score_sed_serving(
 
     contiguous = bool(np.all(np.diff(row_uidx) >= 0)) if n else True
     if n_u < n and contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
-        REF, ALT = runner.score_variant_spans_packed_rows(
+        REF, ALT, SED = runner.score_variant_spans_packed_rows(
             ref_spans, mutpos, alt_alleles, offsets, basis, row_uidx, W, bias
         )
     else:
         # 1:1 rows (or a non-contiguous layout): expand and run per row
-        REF, ALT = runner.score_variant_spans_packed(
+        REF, ALT, SED = runner.score_variant_spans_packed(
             ref_spans[row_uidx], mutpos, alt_alleles[row_uidx], offsets, basis, W, bias
         )
 
@@ -301,7 +301,9 @@ def score_sed_serving(
     for j, name in enumerate(names):
         df[f"REF_{name}"] = REF[:, j]
         df[f"ALT_{name}"] = ALT[:, j]
-        df[name] = ALT[:, j] - REF[:, j]
+        # the device-computed difference, not ALT - REF re-derived on host
+        # (which would re-introduce fp32 cancellation on small effects)
+        df[name] = SED[:, j]
     if output_csv is not None:
         df.to_csv(output_csv, header=True, index=False)
     return df

@@ -92,7 +92,7 @@ def main() -> int:
         warm = min(runner._span_rows(len(offsets)), n_variants)
         runner.score_variant_spans_packed(ref[:warm], mutpos, alt[:warm], offsets, basis[:, :warm], W, bias)
         t0 = time.perf_counter()
-        REF, ALT = runner.score_variant_spans_packed(ref, mutpos, alt, offsets, basis, W, bias)
+        REF, ALT, _SED = runner.score_variant_spans_packed(ref, mutpos, alt, offsets, basis, W, bias)
         dt = time.perf_counter() - t0
         if prev is not None:
             if args.cpu_mesh:

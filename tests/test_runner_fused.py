@@ -106,8 +106,8 @@ def test_score_spans_packed_matches_unpacked(params):
     bias = rng.standard_normal(4).astype(np.float32)
 
     runner = BelugaRunner(params, batch_size=64)
-    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
-    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    REF1, ALT1, _SED1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2, _SED2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
 
@@ -156,8 +156,8 @@ def test_score_spans_packed_with_ns_matches_unpacked(params):
     bias = rng.standard_normal(4).astype(np.float32)
 
     runner = BelugaRunner(params, batch_size=64)
-    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
-    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    REF1, ALT1, _SED1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2, _SED2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
 
@@ -188,8 +188,8 @@ def test_score_spans_packed_ndense_fallback(params):
     bias = rng.standard_normal(4).astype(np.float32)
 
     runner = BelugaRunner(params, batch_size=256)
-    REF1, ALT1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
-    REF2, ALT2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
+    REF1, ALT1, _SED1 = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    REF2, ALT2, _SED2 = runner.score_variant_spans_packed(ref_spans, mutpos, alt_alleles, offsets, basis, W, bias)
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
 
@@ -232,10 +232,10 @@ def test_score_spans_packed_rows_matches_expanded(params):
     bias = rng.standard_normal(4).astype(np.float32)
 
     runner = BelugaRunner(params, batch_size=64)
-    REF1, ALT1 = runner.score_variant_spans_packed(
+    REF1, ALT1, _SED1 = runner.score_variant_spans_packed(
         spans_u[row_uidx], mutpos, alt_u[row_uidx], offsets, basis, W, bias
     )
-    REF2, ALT2 = runner.score_variant_spans_packed_rows(
+    REF2, ALT2, _SED2 = runner.score_variant_spans_packed_rows(
         spans_u, mutpos, alt_u, offsets, basis, row_uidx, W, bias
     )
     np.testing.assert_allclose(REF2, REF1, rtol=1e-5, atol=1e-5)
