@@ -78,8 +78,16 @@ def project_features(basis: np.ndarray, preds: np.ndarray) -> np.ndarray:
         path's ``.flatten()`` of (10, M) (compute_expecto_features.py:124).
     """
     preds = np.asarray(preds)
+    # contract in fp32 unless the caller supplied fp64 predictions: the
+    # float64 basis (numpy exp default) would otherwise promote the whole
+    # contraction — 4x slower and no BLAS — for precision far below the
+    # pipeline's tolerances (the reference's shipped features are fp32)
+    dtype = np.result_type(preds.dtype, np.float32)
+    basis = np.asarray(basis, dtype=dtype)
+    preds = preds.astype(dtype, copy=False)
     if basis.ndim == 2:  # (B, S) shared across items
-        feat = np.einsum("bs,snm->nbm", basis, preds, optimize=True)
+        # tensordot lowers to one BLAS matmul: (B,S) x (S, N*M)
+        feat = np.moveaxis(np.tensordot(basis, preds, axes=([1], [0])), 0, 1)
     else:  # (S, N, B)
         feat = np.einsum("snb,snm->nbm", basis, preds, optimize=True)
     return feat.reshape(feat.shape[0], -1)
