@@ -182,7 +182,9 @@ def main() -> None:
     import jax
 
     platform = jax.devices()[0].platform
-    _arm_watchdog(480.0)
+    # the driver allows ~900 s (verify skill); a cold-cache first compile
+    # through the relay takes ~8 min, so 480 s fired mid-compile
+    _arm_watchdog(840.0)
     n_variants = 3072 if platform != "cpu" else 4
     tpu_vps = measure_tpu_variants_per_sec(params, n_variants=n_variants)
 

@@ -72,7 +72,11 @@ def maybe_initialize_distributed() -> None:
     use."""
     import os
 
-    if jax._src.distributed.global_state.client is not None:
-        return  # already initialized
+    try:
+        initialized = jax.distributed.is_initialized()  # public since jax 0.4.34
+    except AttributeError:  # older jax: fall back to the internal state
+        initialized = jax._src.distributed.global_state.client is not None
+    if initialized:
+        return
     if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
         jax.distributed.initialize()

@@ -47,12 +47,26 @@ class ChromatinResult:
 
 
 def _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose):
-    """Shift-0 ref/alt genome-match counts (reference chromatin.py:256-260)."""
+    """Shift-0 ref/alt genome-match counts (reference chromatin.py:256-260).
+
+    Only the ``len(ref)`` genome bases at the variant site are compared, so
+    this fetches a few bytes per variant instead of re-building the full
+    2,100-bp spliced windows the prediction paths fetch anyway. Near a
+    contig start the reference's window slicing reads a clamp-shifted site;
+    that quirk is reproduced so counts stay bit-identical."""
+    windowsize = inputsize + 100
+    mutpos = int(windowsize / 2 - 1)
     ref_matched = alt_matched = 0
     for i in range(len(chroms)):
-        w = fetch_variant_window(genome, chroms[i], positions[i], refs[i], alts[i], shift=0, inputsize=inputsize)
-        ref_matched += w.ref_matched
-        alt_matched += w.alt_matched
+        if positions[i] - mutpos >= 1:
+            site = genome.sequence(chroms[i], positions[i], positions[i] + len(refs[i]) - 1).upper()
+        else:  # clamp-shifted window start (reference pyfasta behavior)
+            seq = genome.sequence(
+                chroms[i], positions[i] - mutpos, positions[i] + int(windowsize / 2)
+            )
+            site = seq[mutpos : mutpos + len(refs[i])].upper()
+        ref_matched += site == refs[i].upper()
+        alt_matched += site == alts[i].upper()
     if verbose:
         print(f"Number of variants with reference allele matched with reference genome: {ref_matched}")
         print(f"Number of variants with alternate allele matched with reference genome: {alt_matched}")

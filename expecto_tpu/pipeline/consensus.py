@@ -90,10 +90,7 @@ def consensus_window_codes(seq: str, strand: str, *, shifts=None, windowsize: in
     (geuvadis_predict_consensus.py:210-243): window =
     seq[tss + shift*strand - (w/2-1) : tss + shift*strand + w/2 + 1].
     """
-    shifts = gene_shifts() if shifts is None else shifts
-    sgn = {"+": 1, "-": -1}[strand]
-    tss_i = len(seq) // 2
-    starts = [tss_i + shift * sgn - int(windowsize / 2 - 1) for shift in shifts]
+    starts, _, _ = consensus_span_bounds(len(seq), strand, shifts=shifts, windowsize=windowsize)
     for start in starts:
         if start < 0 or start + windowsize > len(seq):
             raise AssertionError(
@@ -108,15 +105,24 @@ def consensus_window_codes(seq: str, strand: str, *, shifts=None, windowsize: in
     return out
 
 
+def consensus_span_bounds(seq_len: int, strand: str, *, shifts=None, windowsize: int = 2000):
+    """(window_starts, lo, hi): the 0-based shift-window starts within a
+    TSS-centered consensus sequence of ``seq_len`` bases, and the [lo, hi)
+    span covering them — the single source of the window math shared by
+    consensus_window_codes / consensus_span_and_offsets / the top-eqtl
+    stored-``seqs`` slice (geuvadis_predict_consensus.py:210-243)."""
+    shifts = gene_shifts() if shifts is None else shifts
+    sgn = {"+": 1, "-": -1}[strand]
+    tss_i = seq_len // 2
+    starts = [tss_i + s * sgn - int(windowsize / 2 - 1) for s in shifts]
+    return starts, min(starts), max(starts) + windowsize
+
+
 def consensus_span_and_offsets(seq: str, strand: str, *, shifts=None, windowsize: int = 2000):
     """(span_codes, offsets) covering all shift windows of a consensus
     sequence — the span-amortized equivalent of consensus_window_codes
     (windows at offsets[i] == consensus_window_codes(...)[i])."""
-    shifts = gene_shifts() if shifts is None else shifts
-    sgn = {"+": 1, "-": -1}[strand]
-    tss_i = len(seq) // 2
-    starts = [tss_i + s * sgn - int(windowsize / 2 - 1) for s in shifts]
-    lo, hi = min(starts), max(starts) + windowsize
+    starts, lo, hi = consensus_span_bounds(len(seq), strand, shifts=shifts, windowsize=windowsize)
     if lo < 0 or hi > len(seq):
         raise AssertionError("consensus span out of range")
     # encode only the covered span (+-21 kb of a 393 kb Enformer sequence)
@@ -193,11 +199,17 @@ def _predict_window_dedup(runner, all_windows, budget, dtype):
     return out.transpose(1, 0, 2)
 
 
-def _predict_span_groups(seqs_and_strands, shifts, predict_group, out):
+def _predict_span_groups(seqs_and_strands, shifts, predict_group, out=None, *, dtype=None):
     """Shared span-path scaffolding: group records by their span-offset
     layout (strand flips the offset order), predict each group's **unique**
     spans via ``predict_group(uniq_rows, offsets)``, and scatter results
-    back to per-record rows of ``out``."""
+    back to per-record rows of ``out``.
+
+    With ``out=None`` the result array is allocated from the first group's
+    prediction shape (so the per-record width follows the runner's actual
+    track/feature count instead of a hard-coded 2002)."""
+    if out is None and not seqs_and_strands:
+        raise ValueError("no consensus records to predict (empty record list)")
     by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
     for i, (seq, strand) in enumerate(seqs_and_strands):
         span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
@@ -206,6 +218,11 @@ def _predict_span_groups(seqs_and_strands, shifts, predict_group, out):
         rows = np.stack([sp for _, sp in items])
         uniq, inverse = _unique_rows(rows)
         res = predict_group(uniq, offsets)
+        if out is None:
+            out = np.empty(
+                (len(seqs_and_strands),) + np.asarray(res).shape[1:],
+                dtype=res.dtype if dtype is None else dtype,
+            )
         for (idx, _), j in zip(items, inverse):
             out[idx] = res[j].astype(out.dtype)
     return out
@@ -263,12 +280,11 @@ def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32,
 
     if preds_u is None:
         if has_spans:
-            preds_u = np.empty((n_u, n_shifts, 2002), dtype=dtype)
-            _predict_span_groups(
+            preds_u = _predict_span_groups(
                 uniq_records,
                 use_shifts,
                 lambda uniq, offsets: runner.predict_span_codes(uniq, offsets, rc_mode="average"),
-                preds_u,
+                dtype=dtype,
             )
         else:
             if all_windows is None:
@@ -302,12 +318,11 @@ def _predict_consensus_features(runner, seqs_and_strands, shifts) -> np.ndarray:
     use_shifts = list(gene_shifts() if shifts is None else shifts)
     if hasattr(runner, "predict_spans_project"):
         pw = gene_pos_weights(use_shifts)
-        out = np.empty((len(seqs_and_strands), pw.shape[0] * 2002), dtype=np.float32)
-        _predict_span_groups(
+        out = _predict_span_groups(
             seqs_and_strands,
             use_shifts,
             lambda uniq, offsets: runner.predict_spans_project(uniq, offsets, pw),
-            out,
+            dtype=np.float32,
         )
         return pad_legacy_20030(out)
     preds = _predict_consensus_preds(runner, seqs_and_strands, use_shifts, window_dedup=False)
@@ -471,16 +486,13 @@ def predict_consensus_for_top_eqtls(
             seqs_and_strands.append((seq, strand))
             record_ids.append(rec_id)
             # the stored receptive-field slice == the shift-window span
-            sgn = {"+": 1, "-": -1}[strand]
-            tss_i = len(seq) // 2
-            use_shifts = gene_shifts() if shifts is None else shifts
-            starts = [tss_i + s * sgn - 999 for s in use_shifts]
-            if min(starts) < 0 or max(starts) + 2000 > len(seq):
+            _, lo, hi = consensus_span_bounds(len(seq), strand, shifts=shifts)
+            if lo < 0 or hi > len(seq):
                 raise AssertionError(
                     f"consensus record {rec_id} is too short ({len(seq)} bp) for the "
-                    f"receptive-field span [{min(starts)}, {max(starts) + 2000})"
+                    f"receptive-field span [{lo}, {hi})"
                 )
-            span_seqs.append(seq[min(starts) : max(starts) + 2000])
+            span_seqs.append(seq[lo:hi])
         preds = _predict_consensus_preds(runner, seqs_and_strands, shifts)
         feats = _match_features(consensus_features(preds, shifts), bst)
         expecto_preds = bst.predict(feats)
@@ -610,6 +622,21 @@ def sed_for_top_eqtls(
     ref_out = bst.predict(ref_feats)
     alt_out = bst.predict(alt_feats)
 
+    # the per-gene h5 layout is keyed by gene name alone (reference
+    # geuvadis_sed_for_top_eqtls.py:129-135) — with several eQTLs on one
+    # gene, later rows overwrite earlier h5s (the returned DataFrame keeps
+    # every row); warn instead of silently matching that reference quirk
+    dupes = pd.Series(genes).value_counts()
+    dupes = dupes[dupes > 1]
+    if len(dupes):
+        import warnings
+
+        warnings.warn(
+            f"multiple eQTLs share a gene name ({', '.join(dupes.index[:5])}); "
+            "per-gene h5 outputs keep only the last eQTL per gene (reference "
+            "layout) — use the returned DataFrame for all rows",
+            stacklevel=2,
+        )
     for i, gene in enumerate(genes):
         preds_dir = f"{out_dir}/{gene}"
         os.makedirs(preds_dir, exist_ok=True)

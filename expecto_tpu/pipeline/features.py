@@ -131,18 +131,17 @@ def compute_gene_features(
     if use_spans:
         if progress:
             from tqdm import tqdm
-        # group the full gene list by offsets signature; big per-group calls
-        # keep pipeline_depth batches in flight inside the runner
+        # group the full gene list by offsets signature — offset =
+        # window_start - min(starts), so the TSS cancels and the signature
+        # depends only on strand; grouping needs no genome fetch at all
         order: dict[tuple, list[int]] = {}
-        spans_cache: list[np.ndarray | None] = [None] * len(genes)
         for j, g in enumerate(genes):
-            span, offsets = gene_span_and_offsets(
-                genome, g.chrom, g.tss, g.strand, windowsize=windowsize, shifts=shifts
-            )
-            order.setdefault(offsets, []).append(j)
-            spans_cache[j] = span
+            starts = [gene_shift_window_bounds(g.tss, g.strand, s, windowsize)[0] for s in shifts]
+            lo = min(starts)
+            order.setdefault(tuple(st - lo for st in starts), []).append(j)
         # per-call block: enough device batches to saturate the pipeline
-        # while bounding host memory (~42 KB/gene span)
+        # while bounding host memory — spans are fetched lazily per block
+        # (~42 KB/gene span held at a time, not the whole gene list)
         rows = runner._span_rows(len(shifts)) if hasattr(runner, "_span_rows") else 8
         block = genes_per_chunk or max(rows * getattr(runner, "pipeline_depth", 4) * 4, 64)
         for offsets, idxs in order.items():
@@ -151,7 +150,15 @@ def compute_gene_features(
                 it = tqdm(list(it), desc=f"offsets group ({len(idxs)} genes)")
             for bstart in it:
                 bidx = idxs[bstart : bstart + block]
-                rows_arr = np.stack([spans_cache[j] for j in bidx])
+                rows_arr = np.stack(
+                    [
+                        gene_span_and_offsets(
+                            genome, genes[j].chrom, genes[j].tss, genes[j].strand,
+                            windowsize=windowsize, shifts=shifts,
+                        )[0]
+                        for j in bidx
+                    ]
+                )
                 feats = runner.predict_spans_project(rows_arr, offsets, pos_weights)
                 for j, f in zip(bidx, feats):
                     features[j] = f

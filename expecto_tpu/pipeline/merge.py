@@ -88,7 +88,15 @@ def compress_h5_tree(
     delete_original: bool = True,
 ) -> list[str]:
     """float16 + gzip-9 recompression of consensus prediction h5s
-    (compress_consensus.py:12-69). Returns the output paths."""
+    (compress_consensus.py:12-69). Returns the output paths.
+
+    The reference hard-codes the dataset names of the basenji tree it
+    targets (``preds``/``record_ids``/``all_preds``); this engine's own
+    consensus trees carry other names (``expecto_preds``,
+    ``chromatin_preds``, ``ref_preds``/``alt_preds``, plus ``seqs`` string
+    sidecars), so the compressor is dataset-generic: every float dataset is
+    rewritten float16 + gzip-9 and every non-float dataset is copied
+    verbatim — nothing is dropped before the original is deleted."""
     os.makedirs(out_dir, exist_ok=True)
     written = []
     center_files = natsorted(glob.glob(f"{preds_dir}/*/*.h5"))
@@ -98,10 +106,15 @@ def compress_h5_tree(
         sub = f"{out_dir}/{Path(path).parent.name}"
         os.makedirs(sub, exist_ok=True)
         out_file = f"{sub}/{Path(path).name}"
+        if os.path.abspath(out_file) == os.path.abspath(path):
+            raise ValueError(f"compress out_dir would overwrite its own input in place: {path}")
         with h5py.File(path, "r") as f, h5py.File(out_file, "w") as fo:
-            fo.create_dataset("preds", data=np.asarray(f["preds"]).astype(np.float16), compression="gzip", compression_opts=9)
-            if "record_ids" in f:
-                fo.create_dataset("record_ids", data=f["record_ids"][...])
+            for name in f:
+                data = f[name][...]
+                if np.issubdtype(data.dtype, np.floating):
+                    fo.create_dataset(name, data=data.astype(np.float16), compression="gzip", compression_opts=9)
+                else:
+                    fo.create_dataset(name, data=data)
         if delete_original:
             os.remove(path)
         written.append(out_file)

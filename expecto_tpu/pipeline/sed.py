@@ -185,7 +185,14 @@ def score_sed(
     by_mag["SED_MAGNITUDES"] = np.abs(by_mag["SED"])
     by_mag = by_mag.sort_values(by="SED_MAGNITUDES", ascending=False)
     by_prop = df.copy()
-    by_prop["SED_PROPORTION"] = np.abs(by_prop["SED"] / ((by_prop["REF"] + by_prop["ALT"]) / 2))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        prop = np.abs(by_prop["SED"] / ((by_prop["REF"] + by_prop["ALT"]) / 2))
+    if not have_refalt:
+        # legacy single-'pred' inputs carry REF=ALT=0: the denominator is
+        # exactly zero for every row, so the proportion ranking is undefined
+        # — write NaN (sorted last) instead of an all-inf column
+        prop = np.full_like(np.asarray(prop, dtype=np.float64), np.nan)
+    by_prop["SED_PROPORTION"] = prop
     by_prop = by_prop.sort_values(by="SED_PROPORTION", ascending=False)
 
     if out_dir is not None:

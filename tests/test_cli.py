@@ -162,11 +162,22 @@ def test_compress_cli(tmp_path):
     with h5py.File(src / "g.h5", "w") as f:
         f.create_dataset("preds", data=np.ones((4, 5), np.float32))
         f.create_dataset("record_ids", data=np.array([b"a|b|c|d"] * 4))
+    # a top-eqtl-layout file: float preds + string sidecars that must
+    # survive compression (the original is deleted afterwards)
+    src2 = tmp_path / "preds" / "gene2"
+    os.makedirs(src2)
+    with h5py.File(src2 / "g2.h5", "w") as f:
+        f.create_dataset("expecto_preds", data=np.full((3,), 2.0, np.float64))
+        f.create_dataset("seqs", data=np.array([b"ACGT"] * 3))
     rc = merge_main(["compress", "--preds_dir", str(tmp_path / "preds"), "--out_dir", str(tmp_path / "zipped")])
     assert rc == 0
     assert not (src / "g.h5").exists()
     with h5py.File(tmp_path / "zipped" / "gene1" / "g.h5", "r") as f:
         assert f["preds"].dtype == np.float16
+        assert f["record_ids"][0] == b"a|b|c|d"
+    with h5py.File(tmp_path / "zipped" / "gene2" / "g2.h5", "r") as f:
+        assert f["expecto_preds"].dtype == np.float16
+        assert list(f["seqs"]) == [b"ACGT"] * 3
 
 
 def test_predict_cli_split_folds(tmp_path, weights_npz, genome_path):

@@ -436,6 +436,40 @@ def test_homozygous_cohort_collapses_to_one_span():
         np.testing.assert_array_equal(preds[0], preds[r])
 
 
+def test_span_path_follows_runner_track_count():
+    """The span branch must size its output from the runner's actual track
+    count, not a hard-coded 2002 (regression: narrow-track runners crashed
+    with a broadcast error only on the span path)."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    class NarrowSpanRunner:
+        n_tracks = 5
+
+        def __init__(self):
+            rng = np.random.default_rng(3)
+            self.proj = rng.normal(size=(2000 * 4, self.n_tracks)).astype(np.float32) * 0.01
+
+        def predict_codes(self, codes, average_rc=False):
+            x = codes_to_onehot(codes).reshape(codes.shape[0], -1)
+            out = x @ self.proj
+            if average_rc:
+                rc = codes_to_onehot(reverse_complement_codes(codes)).reshape(codes.shape[0], -1)
+                out = (out + rc @ self.proj) / 2
+            return out
+
+        def predict_span_codes(self, span_codes, offsets, rc_mode="none"):
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                out.append(self.predict_codes(wins, average_rc=(rc_mode == "average")))
+            return np.stack(out)
+
+    rng = np.random.default_rng(19)
+    records = [(_random_seq(rng, ENFORMER_SEQ_LENGTH), s) for s in ["+", "-"] for _ in range(5)]
+    preds = _predict_consensus_preds(NarrowSpanRunner(), records, TEST_SHIFTS)
+    assert preds.shape == (10, len(TEST_SHIFTS), 5)
+
+
 def test_ref_all_genes_batched_matches_per_gene(consensus_tree):
     """Grouped runner calls (genes_per_call>1) must produce the same
     ref_preds.csv as one call per gene, with fewer runner dispatches."""

@@ -112,6 +112,27 @@ class TestLegacyExample:
         effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5", maxshift=800)
         assert effects["diff"].shape == (9, 10, 2002)
 
+    def test_score_sed_legacy_proportion_is_nan(self, tmp_path):
+        """Legacy single-'pred' inputs have REF=ALT=0: the proportion
+        ranking is undefined and must come out NaN (not inf + warnings)."""
+        import warnings
+
+        from expecto_tpu.pipeline.sed import score_sed
+
+        effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5")
+        coor = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf", sep="\t", header=None, comment="#")
+        gene = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf.bed.sorted.bed.closestgene", sep="\t", header=None)
+        model = GBLinearModel(
+            weight=np.random.default_rng(0).normal(size=20020).astype(np.float32) * 0.01,
+            bias=0.0,
+            base_score=2.0,
+        )
+        with warnings.catch_warnings():
+            warnings.simplefilter("error")  # no RuntimeWarning allowed
+            res = score_sed(effects, coor, gene, model, out_dir=str(tmp_path))
+        assert np.isnan(res.sorted_by_proportion["SED_PROPORTION"]).all()
+        assert (res.table["REF"] == 0).all() and (res.table["ALT"] == 0).all()
+
     def test_multimodel_output_csv(self, tmp_path):
         effects = load_shift_effects(f"{REFERENCE_EXAMPLE}/example.vcf.shift_SHIFT.diff.h5")
         coor = pd.read_csv(f"{REFERENCE_EXAMPLE}/example.vcf", sep="\t", header=None, comment="#")
