@@ -23,7 +23,7 @@ def main(argv=None) -> int:
     import pandas as pd
 
     from ..genome.closest_genes import make_closest_genes_table
-    from ..genome.vcf import read_vcf, standardize_chroms
+    from ..genome.vcf import read_vcf, standardize_chroms, write_vcf_hg19
 
     os.makedirs(args.out_dir, exist_ok=True)
     vcf = standardize_chroms(read_vcf(args.vcf_file))
@@ -32,11 +32,7 @@ def main(argv=None) -> int:
     genes.to_csv(f"{args.out_dir}/closest_genes.tsv", sep="\t", index=False, header=False)
     # snps_hg19.vcf with multiplicity matching the gene table
     # (make_closest_genes_file.py:35-39,66)
-    vcf_path = f"{args.out_dir}/snps_hg19.vcf"
-    with open(vcf_path, "w") as f:
-        print("##fileformat=VCFv4.3", file=f)
-        print("#CHROM\tPOS\tID\tREF\tALT\tQUAL\tFILTER\tINFO", file=f)
-    vcf_out.to_csv(vcf_path, sep="\t", index=False, header=False, mode="a")
+    write_vcf_hg19(vcf_out, f"{args.out_dir}/snps_hg19.vcf")
     vcf_out.to_csv(f"{args.out_dir}/snps_expanded.vcf", sep="\t", index=False, header=False)
     print(f"wrote {args.out_dir}/closest_genes.tsv ({genes.shape[0]} rows)")
     return 0

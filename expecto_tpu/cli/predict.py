@@ -32,6 +32,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_dnase_features", action="store_true")
     p.add_argument("--no_histone_features", action="store_true")
     p.add_argument("--intersect_with_lambert", action="store_true")
+    # the reference hard-codes these resource paths (cluster_utils.py:5-6)
+    p.add_argument("--lambert_hgnc", default="./resources/Lambert-hgnc-symbol-check.csv")
+    p.add_argument("--hgnc_mapping", default="./resources/beluga_hgnc_mapping.csv")
     p.add_argument("--no_pol2", action="store_true")
     p.add_argument("-o", dest="out_dir", default="predict_out")
     return p
@@ -48,6 +51,16 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
 
     keep_mask = None
+    if args.intersect_with_lambert and not (
+        os.path.exists(args.lambert_hgnc) and os.path.exists(args.hgnc_mapping)
+    ):
+        print(
+            "--intersect_with_lambert needs the Lambert/HGNC tables; pass "
+            "--lambert_hgnc and --hgnc_mapping (defaults point at the "
+            "reference's ./resources paths, cluster_utils.py:5-6)",
+            file=sys.stderr,
+        )
+        return 2
     if args.belugaFeatures and any(
         [args.no_tf_features, args.no_dnase_features, args.no_histone_features, args.intersect_with_lambert, args.no_pol2]
     ):
@@ -55,6 +68,7 @@ def main(argv=None) -> int:
         keep_mask = get_keep_mask(
             features_df, args.no_tf_features, args.no_dnase_features, args.no_histone_features,
             args.intersect_with_lambert, args.no_pol2,
+            lambert_hgnc_path=args.lambert_hgnc, hgnc_mapping_path=args.hgnc_mapping,
         )
 
     effects = load_shift_effects(args.snpEffectFilePattern, maxshift=args.maxshift)

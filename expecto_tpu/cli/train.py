@@ -34,6 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no_dnase_features", action="store_true")
     p.add_argument("--no_histone_features", action="store_true")
     p.add_argument("--intersect_with_lambert", action="store_true")
+    # the reference hard-codes these resource paths (cluster_utils.py:5-6)
+    p.add_argument("--lambert_hgnc", default="./resources/Lambert-hgnc-symbol-check.csv")
+    p.add_argument("--hgnc_mapping", default="./resources/beluga_hgnc_mapping.csv")
     p.add_argument("--no_pol2", action="store_true")
     p.add_argument("--seed", type=int, default=None, help="bootstrap resample seed (train_bootstrap.py)")
     p.add_argument("--bootstrap_seeds", type=int, default=None,
@@ -73,6 +76,16 @@ def main(argv=None) -> int:
     if not args.allTissues:
         print(f"Cell type: {geneexp.columns[args.targetIndex]}")
 
+    if args.intersect_with_lambert and not (
+        os.path.exists(args.lambert_hgnc) and os.path.exists(args.hgnc_mapping)
+    ):
+        print(
+            "--intersect_with_lambert needs the Lambert/HGNC tables; pass "
+            "--lambert_hgnc and --hgnc_mapping (defaults point at the "
+            "reference's ./resources paths, cluster_utils.py:5-6)",
+            file=sys.stderr,
+        )
+        return 2
     keep_mask = None
     if args.belugaFeatures and any(
         [args.no_tf_features, args.no_dnase_features, args.no_histone_features, args.intersect_with_lambert, args.no_pol2]
@@ -81,6 +94,7 @@ def main(argv=None) -> int:
             load_beluga_features(args.belugaFeatures),
             args.no_tf_features, args.no_dnase_features, args.no_histone_features,
             args.intersect_with_lambert, args.no_pol2,
+            lambert_hgnc_path=args.lambert_hgnc, hgnc_mapping_path=args.hgnc_mapping,
         )
 
     extra_filter = None

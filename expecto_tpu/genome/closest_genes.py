@@ -28,20 +28,36 @@ def is_in_receptive_field(dist: float, strand: str, shifts: np.ndarray, windowsi
     2,000 bp — the reference's receptive field is deliberately(?) ~500 bp
     short on each edge; kept for association-table parity. Pass 2000 for
     the geometrically correct field."""
-    s = 1 if strand == "+" else -1
-    start = np.min((shifts * s) - int(windowsize / 2 - 1))
-    stop = np.max((shifts * s) + int(windowsize / 2))
+    start, stop = _receptive_field_bounds(strand, shifts, windowsize)
     return start <= -dist <= stop
+
+
+def _receptive_field_bounds(strand: str, shifts: np.ndarray, windowsize: int = 1000) -> tuple[int, int]:
+    """[start, stop] of -dist values inside the receptive field — depends
+    only on strand (two possible bound pairs for the standard shift grid)."""
+    s = 1 if strand == "+" else -1
+    start = int(np.min((shifts * s) - int(windowsize / 2 - 1)))
+    stop = int(np.max((shifts * s) + int(windowsize / 2)))
+    return start, stop
 
 
 def get_genes_in_receptive_field(snp_chrom: str, snp_pos: int, geneanno: pd.DataFrame) -> pd.DataFrame:
     """All genes whose receptive field covers the variant; falls back to the
-    closest gene when none do (make_closest_genes_file.py:81-100)."""
+    closest gene when none do (make_closest_genes_file.py:81-100).
+
+    Vectorized: the field bounds depend only on strand, so membership is one
+    boolean mask over the chromosome's genes instead of a per-gene Python
+    ``is_in_receptive_field`` call (O(V·G) on cohort-scale VCFs)."""
     sub = geneanno.loc[geneanno["seqnames"] == snp_chrom].copy()
     sub["dists"] = sub["CAGE_representative_TSS"] - snp_pos
     shifts = np.asarray(gene_shifts())
-    mask = sub.apply(lambda r: is_in_receptive_field(r["dists"], r["strand"], shifts), axis=1)
-    sub_rf = sub[mask]
+    plus_lo, plus_hi = _receptive_field_bounds("+", shifts)
+    minus_lo, minus_hi = _receptive_field_bounds("-", shifts)
+    plus = sub["strand"].values == "+"
+    lo = np.where(plus, plus_lo, minus_lo)
+    hi = np.where(plus, plus_hi, minus_hi)
+    neg_dists = -sub["dists"].values
+    sub_rf = sub[(lo <= neg_dists) & (neg_dists <= hi)]
     if sub_rf.empty:
         closest_i = int(np.argmin(np.abs(sub["dists"]).values))
         sub_rf = sub.iloc[closest_i : closest_i + 1]

@@ -42,8 +42,10 @@ _ONEHOT_LUT[:4] = np.eye(4, dtype=np.uint8)
 def center_crop_slice(length: int, inputsize: int) -> slice:
     """The reference's center-crop: line[floor((len-n)/2) : floor(len-(len-n)/2)].
 
-    (expecto_utils.py:31). For odd overhang the extra base is dropped from the
-    *left* end, matching floor semantics.
+    (expecto_utils.py:31). For odd overhang the extra base is dropped from
+    the *right* end: length=2101, inputsize=2000 gives [50:2050] — 50 bases
+    dropped left, 51 right (floor on both bounds, matching the reference's
+    int() truncation).
     """
     lo = int(np.floor((length - inputsize) / 2.0))
     hi = int(np.floor(length - (length - inputsize) / 2.0))

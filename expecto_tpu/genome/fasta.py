@@ -32,19 +32,51 @@ _FLAT_SUFFIX = ".etflat"
 _IDX_SUFFIX = ".etidx.json"
 
 
+def _source_fingerprint(fasta_path: Path) -> list[int]:
+    st = fasta_path.stat()
+    return [int(st.st_size), int(st.st_mtime_ns)]
+
+
+def _write_index(idx_path: Path, fingerprint: list[int], index: dict) -> None:
+    tmp = idx_path.with_suffix(".tmp")
+    tmp.write_text(json.dumps({"__source__": fingerprint, "contigs": index}))
+    os.replace(tmp, idx_path)
+
+
 def _build_flat(fasta_path: Path, flat_path: Path, idx_path: Path) -> None:
     """One-time scan: strip headers/newlines into a flat byte file + index.
     Uses the native builder (native/etseq.cc) when available."""
     from . import native
 
-    if native.available():
-        raw = fasta_path.read_bytes()
-        flat, nidx = native.build_flat(raw)
-        flat_path.write_bytes(flat)
-        tmp = idx_path.with_suffix(".tmp")
-        tmp.write_text(json.dumps({k: [off, ln] for k, (off, ln) in nidx.items()}))
-        os.replace(tmp, idx_path)
-        return
+    # fingerprint BEFORE reading: if the FASTA is swapped mid-build the
+    # recorded stamp then mismatches the new file and forces a rebuild on
+    # the next open, instead of permanently serving the stale flat content
+    fingerprint = _source_fingerprint(fasta_path)
+
+    if native.available() and fingerprint[0] > 0:  # mmap rejects empty files
+        # mmap the source (OS-paged, no heap copy) and stream the flat
+        # array straight to disk: peak extra RAM ~1x genome, not ~3x
+        nidx = None
+        with open(fasta_path, "rb") as f:
+            raw = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+            try:
+                try:
+                    flat, nidx = native.build_flat(raw)
+                except RuntimeError:
+                    pass  # >4096 contigs: the streaming builder below has no cap
+                else:
+                    flat.tofile(str(flat_path))
+                    del flat
+            finally:
+                try:
+                    raw.close()
+                except BufferError:
+                    # numpy views of the mmap are still referenced by an
+                    # in-flight exception traceback; GC reclaims the map
+                    pass
+        if nidx is not None:
+            _write_index(idx_path, fingerprint, {k: [off, ln] for k, (off, ln) in nidx.items()})
+            return
 
     index: dict[str, list[int]] = {}
     offset = 0
@@ -64,9 +96,7 @@ def _build_flat(fasta_path: Path, flat_path: Path, idx_path: Path) -> None:
                 offset += len(seq)
         if name is not None:
             index[name][1] = offset - index[name][0]
-    tmp = idx_path.with_suffix(".tmp")
-    tmp.write_text(json.dumps(index))
-    os.replace(tmp, idx_path)
+    _write_index(idx_path, fingerprint, index)
 
 
 class FastaIndex:
@@ -76,11 +106,38 @@ class FastaIndex:
         self.path = Path(path)
         flat = self.path.with_name(self.path.name + _FLAT_SUFFIX)
         idx = self.path.with_name(self.path.name + _IDX_SUFFIX)
-        if not (flat.exists() and idx.exists()):
+        contigs = self._load_fresh_index(flat, idx)
+        if contigs is None:
             _build_flat(self.path, flat, idx)
-        self._index: dict[str, list[int]] = json.loads(idx.read_text())
+            contigs = json.loads(idx.read_text())["contigs"]
+        self._index: dict[str, list[int]] = contigs
         self._file = open(flat, "rb")
-        self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        if os.fstat(self._file.fileno()).st_size > 0:
+            self._mmap = mmap.mmap(self._file.fileno(), 0, access=mmap.ACCESS_READ)
+        else:  # zero contigs (empty/truncated FASTA): mmap rejects empty files
+            self._mmap = b""
+
+    def _load_fresh_index(self, flat: Path, idx: Path):
+        """Contig index if the sidecars are usable, else None (rebuild).
+
+        Rebuild when sidecars are missing OR the source FASTA changed since
+        they were built (size+mtime fingerprint) — a re-downloaded or swapped
+        genome must not be silently served from stale sidecars.
+        Pre-fingerprint sidecars (no ``__source__`` key) rebuild once. If
+        the source FASTA itself is gone but both sidecars exist, they are
+        served as-is (sidecars-only deployments that delete the 3 GB source
+        after the one-time build)."""
+        if not (flat.exists() and idx.exists()):
+            return None
+        try:
+            meta = json.loads(idx.read_text())
+            contigs = meta["contigs"]
+            stamp = meta["__source__"]
+        except (KeyError, TypeError, ValueError):
+            return None
+        if not self.path.exists():
+            return contigs
+        return contigs if stamp == _source_fingerprint(self.path) else None
 
     def __contains__(self, chrom: str) -> bool:
         return chrom in self._index
@@ -133,7 +190,8 @@ class FastaIndex:
         return self._mmap[off + lo : off + hi]
 
     def close(self) -> None:
-        self._mmap.close()
+        if isinstance(self._mmap, mmap.mmap):
+            self._mmap.close()
         self._file.close()
 
 

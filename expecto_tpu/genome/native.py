@@ -88,8 +88,11 @@ def splice_encode(window: bytes, mutpos: int, ref_len: int, allele: str, inputsi
     return out
 
 
-def build_flat(fasta_bytes: bytes, max_contigs: int = 4096):
-    """FASTA bytes -> (flat_bytes, {name: (flat_offset, length)})."""
+def build_flat(fasta_bytes, max_contigs: int = 4096):
+    """FASTA bytes (or any buffer, e.g. an mmap) -> (flat uint8 array view,
+    {name: (flat_offset, length)}). The returned array is a slice of the
+    builder's output buffer — write it with ``.tofile()`` rather than
+    ``bytes()`` to avoid an extra whole-genome copy."""
     lib = _load()
     src = np.frombuffer(fasta_bytes, dtype=np.uint8)
     dst = np.empty(src.shape[0], dtype=np.uint8)
@@ -102,7 +105,7 @@ def build_flat(fasta_bytes: bytes, max_contigs: int = 4096):
         raise RuntimeError("too many contigs for native flat builder")
     index = {}
     for k in range(n):
-        name = fasta_bytes[name_off[k] : name_off[k] + name_len[k]].decode()
+        name = src[name_off[k] : name_off[k] + name_len[k]].tobytes().decode()
         end = flat_off[k + 1] if k + 1 < n else flat_len[0]
         index[name] = (int(flat_off[k]), int(end - flat_off[k]))
-    return bytes(dst[: flat_len[0]]), index
+    return dst[: flat_len[0]], index

@@ -44,7 +44,12 @@ def get_keep_mask(
             if assay in mapping.index:
                 match = mapping.loc[assay][["Match type", "Approved symbol"]]
                 if len(match.shape) != 1:
-                    match = match[match["Match type"] == "Approved symbol"].iloc[0]
+                    # prefer the 'Approved symbol' row among multi-mapped
+                    # assays; a renamed TF may map via alias/previous-symbol
+                    # rows only (the reference IndexErrors there,
+                    # cluster_utils.py:34) — fall back to the first row
+                    approved = match[match["Match type"] == "Approved symbol"]
+                    match = (approved if len(approved) else match).iloc[0]
                 hgnc_assays[i] = match["Approved symbol"].upper()
         hgnc_df = beluga_features_df.copy()
         hgnc_df["Assay"] = hgnc_assays

@@ -34,6 +34,22 @@ class TestFasta:
         fa = FastaIndex(tmp_path / "x.fa")
         assert fa.sequence("c", 1, 400) == seq
 
+    def test_stale_sidecars_rebuilt(self, tmp_path):
+        """Replacing the FASTA at the same path must invalidate the
+        .etflat/.etidx sidecars (size+mtime fingerprint), not silently
+        serve the old genome."""
+        import os
+
+        write_fasta(tmp_path / "x.fa", {"c": "AAAA" * 100}, width=10)
+        fa = FastaIndex(tmp_path / "x.fa")
+        assert fa.sequence("c", 1, 4) == "AAAA"
+        fa.close()
+        write_fasta(tmp_path / "x.fa", {"c": "CCGG" * 100}, width=10)
+        os.utime(tmp_path / "x.fa", ns=(1, 1))  # force a distinct mtime
+        fa2 = FastaIndex(tmp_path / "x.fa")
+        assert fa2.sequence("c", 1, 4) == "CCGG"
+        fa2.close()
+
 
 class TestShifts:
     def test_variant_shift_enumeration(self):
