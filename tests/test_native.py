@@ -44,7 +44,9 @@ def test_splice_encode_matches_python(rng):
     from expecto_tpu.genome.encode import center_crop_slice
 
     window = "".join(rng.choice(list("ACGT"), size=2100))
-    for ref_len, alt in [(1, "T"), (1, "TTT"), (5, "A"), (3, "")]:
+    # long deletions (ref_len > the 100 bp window slack) make the spliced
+    # sequence SHORTER than inputsize: both paths must left-align + N-pad
+    for ref_len, alt in [(1, "T"), (1, "TTT"), (5, "A"), (3, ""), (101, "C"), (500, "AG"), (1200, "T")]:
         mutpos = 1049
         spliced = window[:mutpos] + alt + window[mutpos + ref_len :]
         want = seqs_to_codes([spliced], 2000)[0]
