@@ -382,6 +382,18 @@ class TestReplicator:
         loaded = np.load(tmp_path / "G1.npy")
         np.testing.assert_array_equal(loaded, out["G1"])
 
+        # C15/C16 consistency: projecting the replicated raw preds with the
+        # gene decay basis must reproduce compute_gene_features exactly
+        from expecto_tpu.genome.windows import gene_shifts
+        from expecto_tpu.ops.decay import gene_pos_weights, project_features
+        from expecto_tpu.pipeline.features import compute_gene_features
+
+        feats = compute_gene_features(genes, fa, FakeRunner())
+        pw = gene_pos_weights(gene_shifts())
+        for i, g in enumerate(genes):
+            manual = project_features(pw, out[g.gene_id][:, None, :])[0]
+            np.testing.assert_allclose(feats[i], manual, rtol=1e-5, atol=1e-6)
+
 
 class TestVectorizedTissues:
     def test_matches_per_column(self):
