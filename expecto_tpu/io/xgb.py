@@ -125,7 +125,12 @@ def save_expression_model(model: GBLinearModel, path: str | os.PathLike) -> None
 
 def load_expression_model(path: str | os.PathLike, base_score: float = 2.0) -> GBLinearModel:
     """Load a model in any supported container (binary .save / text dump /
-    native .npz), detected by content."""
+    native .npz), detected by content.
+
+    Whitespace around the path is stripped, as the reference does for every
+    modellist entry (predict.py:165 ``load_model(file.strip())``) — modellist
+    TSVs commonly carry trailing spaces; a file whose real name ends in a
+    space must be passed some other way."""
     p = str(path).strip()
     if p.endswith(".npz"):
         d = np.load(p)

@@ -47,6 +47,14 @@ class GBLinearParams:
     num_round: int = 100
     block_size: int = 512
     early_stopping_rounds: int | None = None
+    #: matmul precision for the training kernels. TPU fp32 `dot` at
+    #: "default" uses bf16 multiplications (one MXU pass); "highest" is true
+    #: fp32 but measured 8.5x slower at the real problem size (61.7 s vs
+    #: 7.2 s per round for 256 models at 18k x 20,020) for ~2e-4 relative
+    #: difference in trained weights — far below the model's biological
+    #: signal. Default "default"; set "highest" for strict xgboost-0.7
+    #: numerical parity runs.
+    precision: str = "default"
 
 
 @dataclass
@@ -97,6 +105,8 @@ def _round_body(hp: GBLinearParams, axis_name=None):
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
+    prec = jax.lax.Precision(hp.precision)
+
     def one_round(w_blocks, bias, r, Xt_blocks, col_hess_blocks, n_total):
         # bias step (sum_hess = n for squared error)
         sum_g = psum(jnp.sum(r))
@@ -106,9 +116,9 @@ def _round_body(hp: GBLinearParams, axis_name=None):
 
         def block_step(r, inputs):
             Xb, wb, hb = inputs  # Xb: (B, n_local); hb: (B,) global col hessians
-            g = psum(Xb @ r)  # (B,) global gradient sums — MXU matmul + psum
+            g = psum(jnp.dot(Xb, r, precision=prec))  # (B,) global gradient sums
             dw = hp.eta * _coord_delta(g, hb, wb, hp.reg_lambda, hp.reg_alpha)
-            r = r + dw @ Xb
+            r = r + jnp.dot(dw, Xb, precision=prec)
             return r, wb + dw
 
         r, w_blocks = jax.lax.scan(block_step, r, (Xt_blocks, w_blocks, col_hess_blocks))
@@ -213,7 +223,9 @@ def _multi_round_body(hp: GBLinearParams, axis_name=None):
     def psum(x):
         return jax.lax.psum(x, axis_name) if axis_name else x
 
-    def one_round(w_blocks, bias, r, row_w, n_eff, Xt_blocks, Xt2_blocks):
+    prec = jax.lax.Precision(hp.precision)
+
+    def one_round(w_blocks, bias, r, row_w, n_eff, Xt_blocks, hess_blocks):
         # bias step: sum_g/sum_h per model
         sum_g = psum(jnp.sum(row_w * r, axis=0))  # (K,)
         db = hp.eta * (-sum_g / (n_eff + hp.reg_lambda_bias))
@@ -221,14 +233,13 @@ def _multi_round_body(hp: GBLinearParams, axis_name=None):
         r = r + db[None, :]
 
         def block_step(r, inputs):
-            Xb, X2b, wb = inputs  # Xb: (B, n_local); wb: (B, K)
-            g = psum(Xb @ (row_w * r))  # (B, K)
-            h = psum(X2b @ row_w)  # (B, K)
-            dw = hp.eta * _coord_delta(g, h, wb, hp.reg_lambda, hp.reg_alpha)
-            r = r + Xb.T @ dw  # (n, K)
+            Xb, hb, wb = inputs  # Xb: (B, n_local); hb/wb: (B, K)
+            g = psum(jnp.dot(Xb, row_w * r, precision=prec))  # (B, K)
+            dw = hp.eta * _coord_delta(g, hb, wb, hp.reg_lambda, hp.reg_alpha)
+            r = r + jnp.dot(Xb.T, dw, precision=prec)  # (n, K)
             return r, wb + dw
 
-        r, w_blocks = jax.lax.scan(block_step, r, (Xt_blocks, Xt2_blocks, w_blocks))
+        r, w_blocks = jax.lax.scan(block_step, r, (Xt_blocks, hess_blocks, w_blocks))
         return w_blocks, bias, r
 
     return one_round
@@ -263,6 +274,15 @@ def train_gblinear_multi(
       weights is exactly training on the resampled rows.
     """
     hp = params or GBLinearParams()
+    if hp.early_stopping_rounds is not None:
+        import warnings
+
+        warnings.warn(
+            "train_gblinear_multi runs all num_round rounds: per-model early "
+            "stopping is not supported in the vectorized sweep (use "
+            "train_gblinear with evals for early stopping)",
+            stacklevel=2,
+        )
     X = np.asarray(X, dtype=np.float32)
     Y = np.asarray(Y, dtype=np.float32)
     if Y.ndim == 1:
@@ -278,15 +298,22 @@ def train_gblinear_multi(
 
     jit_round = jax.jit(_multi_round_body(hp), donate_argnums=(0, 2))
     Xt_dev = jax.device_put(Xt_blocks)
-    Xt2_dev = Xt_dev**2  # squared on device; avoids a second host-size copy
+    rw = jnp.asarray(row_weights)
+    # per-(feature, model) hessians H = X^2 @ row_w are loop-invariant:
+    # compute once (sequential over blocks to bound the X*X temp) instead of
+    # one full-size matmul per block per round (~33% of the sweep's FLOPs)
+    # and a second feature-matrix-sized device buffer
+    prec = jax.lax.Precision(hp.precision)
+    hess_dev = jax.jit(
+        lambda Xt, w: jax.lax.map(lambda Xb: jnp.dot(Xb * Xb, w, precision=prec), Xt)
+    )(Xt_dev, rw)
 
     w_blocks = jnp.zeros((Xt_blocks.shape[0], Xt_blocks.shape[1], k), jnp.float32)
     bias = jnp.zeros((k,), jnp.float32)
     r = jnp.asarray(np.full((n, k), hp.base_score, np.float32) - Y)
-    rw = jnp.asarray(row_weights)
 
     for it in range(hp.num_round):
-        w_blocks, bias, r = jit_round(w_blocks, bias, r, rw, n_eff, Xt_dev, Xt2_dev)
+        w_blocks, bias, r = jit_round(w_blocks, bias, r, rw, n_eff, Xt_dev, hess_dev)
         if verbose and it % 10 == 0:
             print(f"[{it}] mean|r| = {float(jnp.mean(jnp.abs(r))):.5f}")
 

@@ -50,19 +50,31 @@ def list_shards(path: str) -> list[str]:
     if os.path.exists(path):
         return [path]
     stem, ext = os.path.splitext(path)
-    files = []
-    expected = None
+    by_index: dict[int, str] = {}
+    worlds = set()
     for fpath in sorted(glob.glob(f"{stem}.shard*-of-*{ext}")):
-        m = re.search(r"shard\d{5}-of-(\d{5})", fpath)
+        m = re.search(r"shard(\d{5})-of-(\d{5})", fpath)
         if m is None:
             continue  # hand-named stragglers don't belong to this shard set
-        files.append(fpath)
-        expected = int(m.group(1))
-    if not files:
+        by_index[int(m.group(1))] = fpath
+        worlds.add(int(m.group(2)))
+    if not by_index:
         return []
-    if len(files) != expected:
-        raise AssertionError(f"expected {expected} shards for {path}, found {len(files)}")
-    return files
+    # every file must agree on the world size AND indices must be exactly
+    # 0..N-1 — shard files left behind by a run with a different host count
+    # (e.g. a 2-host set mixed with a partial 4-host rerun) must not be
+    # silently merged together
+    if len(worlds) != 1:
+        raise AssertionError(
+            f"mixed shard sets for {path}: world sizes {sorted(worlds)} — "
+            "remove stale shards from a previous run before merging"
+        )
+    expected = worlds.pop()
+    if sorted(by_index) != list(range(expected)):
+        raise AssertionError(
+            f"expected shards 0..{expected - 1} for {path}, found indices {sorted(by_index)}"
+        )
+    return [by_index[i] for i in range(expected)]
 
 
 def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool = False) -> str:
@@ -85,6 +97,12 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
                 if name in shapes:
                     if shapes[name][1:] != shape[1:]:
                         raise AssertionError(f"shard dataset {name} trailing shape mismatch")
+                    if dtypes[name] != dtype:
+                        # h5py would silently cast on write (e.g. one host in
+                        # fp32 parity mode merged into fp16 production shards)
+                        raise AssertionError(
+                            f"shard dataset {name} dtype mismatch: {dtypes[name]} vs {dtype} in {s}"
+                        )
                     shapes[name] = (shapes[name][0] + shape[0],) + shape[1:]
                 else:
                     shapes[name], dtypes[name] = shape, dtype
@@ -107,10 +125,14 @@ def assemble_rows(parts: list[tuple[int, np.ndarray]], n_rows: int) -> np.ndarra
     """Place (start, block) pairs into a (n_rows, ...) array (in-memory
     merge for collectives-free host gathers)."""
     out = np.empty((n_rows,) + parts[0][1].shape[1:], dtype=parts[0][1].dtype)
-    seen = 0
-    for start, block in parts:
+    # blocks must tile [0, n_rows) exactly — a size-only check would accept
+    # overlapping parts and leave an uninitialized np.empty gap
+    end = 0
+    for start, block in sorted(parts, key=lambda p: p[0]):
+        if start != end:
+            raise AssertionError(f"row blocks must tile contiguously: block at {start}, expected {end}")
         out[start : start + block.shape[0]] = block
-        seen += block.shape[0]
-    if seen != n_rows:
-        raise AssertionError(f"assembled {seen} rows, expected {n_rows}")
+        end = start + block.shape[0]
+    if end != n_rows:
+        raise AssertionError(f"assembled {end} rows, expected {n_rows}")
     return out

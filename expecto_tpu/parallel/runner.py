@@ -54,7 +54,8 @@ def pack_codes(codes: np.ndarray) -> np.ndarray:
     n, l = codes.shape
     if l % 2:
         codes = np.concatenate([codes, np.full((n, 1), 4, np.int8)], axis=1)
-    pairs = codes.reshape(n, -1, 2).astype(np.uint8)
+    # explicit dims (not -1): reshape(-1) cannot infer on zero-size batches
+    pairs = codes.reshape(n, (l + l % 2) // 2, 2).astype(np.uint8)
     return pairs[:, :, 0] * 16 + pairs[:, :, 1]
 
 
@@ -77,7 +78,8 @@ def pack_codes2(codes: np.ndarray):
     pad = (-l) % 4
     if pad:
         c = np.concatenate([c, np.zeros((n, pad), np.uint8)], axis=1)
-    q = c.reshape(n, -1, 4)
+    # explicit dims (not -1): reshape(-1) cannot infer on zero-size batches
+    q = c.reshape(n, (l + pad) // 4, 4)
     packed = (q[:, :, 0] << 6) | (q[:, :, 1] << 4) | (q[:, :, 2] << 2) | q[:, :, 3]
     return packed, rows.astype(np.int32), cols.astype(np.int32)
 

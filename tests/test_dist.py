@@ -53,8 +53,29 @@ class TestShardedH5:
         path = str(tmp_path / "x.h5")
         with h5py.File(shard_path(path, 0, 3), "w") as f:
             f.create_dataset("d", data=np.zeros(2))
-        with pytest.raises(AssertionError, match="expected 3 shards"):
+        with pytest.raises(AssertionError, match="expected shards"):
             list_shards(path)
+
+    def test_mixed_world_sizes_rejected(self, tmp_path):
+        """Shards left behind by a run with a different host count must not
+        be silently merged with a newer set (regression: a count-only check
+        accepted 2-of-2 + 2-of-4 as four valid shards)."""
+        path = str(tmp_path / "y.h5")
+        for r, w in [(0, 2), (1, 2), (0, 4), (1, 4)]:
+            with h5py.File(shard_path(path, r, w), "w") as f:
+                f.create_dataset("d", data=np.zeros(1))
+        with pytest.raises(AssertionError, match="mixed shard sets"):
+            list_shards(path)
+
+    def test_dtype_mismatch_rejected(self, tmp_path):
+        """One fp32 shard merged into fp16 shards would be silently cast by
+        h5py on write — must raise instead."""
+        path = str(tmp_path / "z.h5")
+        for r, dt in [(0, np.float16), (1, np.float32)]:
+            with h5py.File(shard_path(path, r, 2), "w") as f:
+                f.create_dataset("d", data=np.zeros((2, 3), dt))
+        with pytest.raises(AssertionError, match="dtype mismatch"):
+            merge_sharded_h5(path)
 
 
 def test_assemble_rows():
@@ -63,3 +84,7 @@ def test_assemble_rows():
     assert (out[:5] == 0).all() and (out[5:] == 1).all()
     with pytest.raises(AssertionError):
         assemble_rows(parts, 12)
+    # overlapping blocks pass a size-only check but leave a garbage gap —
+    # must raise on non-contiguous tiling
+    with pytest.raises(AssertionError, match="tile contiguously"):
+        assemble_rows([(0, np.zeros((6, 2))), (4, np.zeros((4, 2)))], 10)
