@@ -48,13 +48,13 @@ class GBLinearParams:
     block_size: int = 512
     early_stopping_rounds: int | None = None
     #: matmul precision for the training kernels. TPU fp32 `dot` at
-    #: "default" uses bf16 multiplications (one MXU pass); "highest" is true
-    #: fp32 but measured 8.5x slower at the real problem size (61.7 s vs
-    #: 7.2 s per round for 256 models at 18k x 20,020) for ~2e-4 relative
-    #: difference in trained weights — far below the model's biological
-    #: signal. Default "default"; set "highest" for strict xgboost-0.7
-    #: numerical parity runs.
-    precision: str = "default"
+    #: "default" uses bf16 multiplications; "highest" is true fp32 and keeps
+    #: trained weights tracking xgboost 0.7 (the parity claim). Measured
+    #: warm at the real problem size (256 models, 18k x 20,020): 18 ms vs
+    #: 12 ms per round — parity costs 1.5x, so it is the default; set
+    #: "default" to trade ~2e-4 relative weight noise for the one-pass MXU
+    #: rate when sweeping thousands of models.
+    precision: str = "highest"
 
 
 @dataclass
