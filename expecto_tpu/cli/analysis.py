@@ -360,6 +360,7 @@ def main(argv=None) -> int:
             included = set(features_df[tf_mask]["Assay"].str.upper())
         motifs, found = collect_cluster_motifs(included, args.jaspar_motif_db, args.hocomoco_jaspar_motif_file)
         print(f"Found {len(found)} motifs out of {len(included)} TF assays")
+        os.makedirs(args.out_dir, exist_ok=True)
         with open(f"{args.out_dir}/cluster_motifs.jaspar", "w") as f:
             f.write(write_jaspar(motifs))
 
@@ -377,6 +378,7 @@ def main(argv=None) -> int:
                 return 2
             vcf_df = vcf_df.iloc[args.chunk_i * args.chunk_size : (args.chunk_i + 1) * args.chunk_size]
         genome = FastaIndex(args.hg19_fasta)
+        os.makedirs(args.out_dir, exist_ok=True)
         fasta = f"{args.out_dir}/fimo_in.fasta"
         write_fimo_input(vcf_df, genome, fasta, bp_pad=args.bp_pad)
         out_txt = f"{args.out_dir}/fimo_out.txt"

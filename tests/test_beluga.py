@@ -67,6 +67,17 @@ def test_npz_roundtrip(oracle_and_params, tmp_path):
             np.testing.assert_array_equal(params[layer][name], loaded[layer][name])
 
 
+def test_orbax_roundtrip(oracle_and_params, tmp_path):
+    from expecto_tpu.models.convert import save_params_orbax, load_params_orbax
+
+    _, params = oracle_and_params
+    save_params_orbax(params, tmp_path / "ckpt")
+    loaded = load_params_orbax(tmp_path / "ckpt")
+    for layer in params:
+        for name in params[layer]:
+            np.testing.assert_array_equal(np.asarray(params[layer][name]), np.asarray(loaded[layer][name]))
+
+
 def test_runner_matches_direct(oracle_and_params, onehot_batch):
     from expecto_tpu.parallel.runner import BelugaRunner
     from expecto_tpu.genome.encode import seqs_to_codes

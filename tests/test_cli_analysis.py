@@ -521,3 +521,65 @@ class TestExtractDatasetCLI:
         assert len(done) == 1
         out = pd.read_csv(tmp_path / "out" / "hla-b" / "basenji_preds.csv", index_col=0)
         assert out.shape == (2, 1)
+
+
+class TestCollectPwmsCLI:
+    def test_collect_from_jaspar_db(self, tmp_path):
+        bf = tmp_path / "beluga.tsv"
+        rows = ["\t".join(["i", "Cell type", "Assay", "Treatment", "Assay type", "Source"])]
+        for i, (assay, at) in enumerate([("CTCF", "TF"), ("GATA1", "TF"), ("DNase", "DNase")]):
+            rows.append("\t".join([str(i), "K562", assay, "None", at, "ENCODE"]))
+        bf.write_text("\n".join(rows) + "\n")
+        db = tmp_path / "jaspar_db"
+        db.mkdir()
+        (db / "MA0139.1.jaspar").write_text(
+            ">MA0139.1 CTCF\nA [ 1 2 3 ]\nC [ 4 5 6 ]\nG [ 7 8 9 ]\nT [ 1 1 1 ]\n"
+        )
+        (db / "MA0035.4.jaspar").write_text(
+            ">MA0035.4 Gata1::Tal1\nA [ 1 ]\nC [ 1 ]\nG [ 1 ]\nT [ 1 ]\n"
+        )  # heterodimer: skipped
+        rc = analysis_main([
+            "collect-pwms", "--belugaFeatures", str(bf),
+            "--jaspar_motif_db", str(db),
+            "--out_dir", str(tmp_path / "pwms"),
+        ])
+        assert rc == 0
+        text = (tmp_path / "pwms" / "cluster_motifs.jaspar").read_text()
+        assert "CTCF" in text and "Tal1" not in text
+
+
+class TestFimoQueryCLI:
+    def test_query_with_stubbed_fimo(self, tmp_path, monkeypatch):
+        """End-to-end fimo-query with the external MEME binary stubbed: the
+        CLI writes the variant FASTA, 'runs' fimo, filters to
+        variant-covering matches."""
+        from expecto_tpu.genome.fasta import write_fasta
+
+        rng = np.random.default_rng(3)
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 5000)])
+        write_fasta(tmp_path / "g.fa", {"chr1": seq})
+        pos = 2000
+        vcf = tmp_path / "in.vcf"
+        vcf.write_text(f"chr1\t{pos}\trs1\t{seq[pos - 1]}\tN\t.\t.\t.\n")
+
+        def fake_run_fimo(motif_file, fasta_path, out_path):
+            rows = [
+                ["M1", "TF1", "rs1", 29, 35, "+", 10.0, 1e-5, 0.1, "AAA"],
+                ["M2", "TF2", "rs1", 1, 9, "+", 5.0, 1e-3, 0.5, "CCC"],
+            ]
+            with open(out_path, "w") as f:
+                for r in rows:
+                    f.write("\t".join(map(str, r)) + "\n")
+
+        import expecto_tpu.analysis.fimo as fimo_mod
+
+        monkeypatch.setattr(fimo_mod, "run_fimo", fake_run_fimo)
+        rc = analysis_main([
+            "fimo-query", "--vcf_file", str(vcf), "--motif_file", "unused.meme",
+            "--hg19_fasta", str(tmp_path / "g.fa"), "-o", str(tmp_path / "q"),
+        ])
+        assert rc == 0
+        fasta_out = (tmp_path / "q" / "fimo_in.fasta").read_text().splitlines()
+        assert fasta_out[0] == ">rs1" and len(fasta_out[1]) == 61
+        filtered = pd.read_csv(tmp_path / "q" / "fimo_filtered.tsv", sep="\t")
+        assert list(filtered["motif_id"]) == ["M1"]  # only the covering match
