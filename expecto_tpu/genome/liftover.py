@@ -138,12 +138,24 @@ def liftover_vcf(vcf, converter: ChainLiftover):
     # the reference does — force object dtype for pandas >= 2 strictness.
     vcf.isetitem(0, vcf.iloc[:, 0].astype(object))
     chroms, positions = [], []
+    warned_multi = False
     for chrom, pos in zip(vcf.iloc[:, 0], vcf.iloc[:, 1]):
         coords = converter.convert_coordinate(str(chrom), int(pos))
         if len(coords) > 1:
-            raise AssertionError(
-                f"hg38 to hg19 conversion returned multiple entries for {chrom}, bp {pos}"
-            )
+            # overlapping chains (main + alt mappings) are legitimate in real
+            # UCSC chain files; take the top-scoring mapping (the list is
+            # score-sorted) rather than aborting the whole chunk — the
+            # reference asserts here (chromatin.py:128) and dies instead
+            if not warned_multi:
+                import warnings
+
+                warnings.warn(
+                    f"multiple liftover mappings for {chrom}:{pos} (and possibly "
+                    "others) — using the top-scoring chain for each",
+                    stacklevel=2,
+                )
+                warned_multi = True
+            coords = coords[:1]
         if not coords:
             chroms.append(FAILED_LIFTOVER_VALUE)
             positions.append(FAILED_LIFTOVER_VALUE)

@@ -34,7 +34,6 @@ from jax import lax
 
 BELUGA_INPUT_LEN = 2000
 BELUGA_N_TRACKS = 2002
-_CONV_DIMS = ("NWC", "WIO", "OUT:NWC")
 
 #: (width, in_ch, out_ch) for the six convolutions.
 CONV_SPECS = [(8, 4, 320), (8, 320, 320), (8, 320, 480), (8, 480, 480), (8, 480, 640), (8, 640, 640)]

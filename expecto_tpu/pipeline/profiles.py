@@ -38,6 +38,18 @@ def join_counts_to_geneanno(
         raise ValueError("on must be 'index' or 'symbol'")
     cols = columns if columns is not None else list(counts_df.columns)
     out = merged.loc[:, cols]
+    if len(out) != len(geneanno):
+        # a duplicated join key emits one row per match; the profile would
+        # silently stop row-aligning with geneanno/Xreducedall (the
+        # reference's left-merge has the same hazard, make_geneanno.py:23)
+        import warnings
+
+        warnings.warn(
+            f"counts join produced {len(out)} rows for {len(geneanno)} genes — "
+            f"duplicate '{on}' keys in the counts table; the profile no longer "
+            "row-aligns with geneanno (dedupe the counts index first)",
+            stacklevel=2,
+        )
     out.index = range(1, len(out.index) + 1)
     return out
 
@@ -45,14 +57,22 @@ def join_counts_to_geneanno(
 def rank_match_to_profile(df_out: pd.DataFrame, reference_col: pd.Series) -> pd.DataFrame:
     """Replace each column's values with the reference profile's values at
     matching ranks (double-argsort; make_geneanno.py:28-40). Rows with any
-    NaN stay NaN."""
+    NaN stay NaN.
+
+    NaNs are masked from ``df_out`` only, exactly as the reference does:
+    a NaN inside ``reference_col`` at a row where ``df_out`` is valid sorts
+    to the END of the sorted reference values and lands on the top-ranked
+    gene (make_geneanno.py:30-37) — pre-clean the reference profile if it
+    can contain missing values."""
     df_out = df_out.copy()
     nan_mask = np.any(df_out.isnull(), axis=1).values
     col_to_match = pd.Series(reference_col).reset_index(drop=True)
     col_to_match = col_to_match[~nan_mask]
     sorted_vals = np.sort(col_to_match)
     for j in range(df_out.shape[1]):
-        vals = df_out.iloc[:, j].values.copy()
+        # float64 copy: integer counts columns cannot hold NaN, and the
+        # reference profile's values are generally fractional
+        vals = df_out.iloc[:, j].values.astype(np.float64, copy=True)
         ranks = vals[~nan_mask].argsort().argsort()
         vals[~nan_mask] = sorted_vals[ranks]
         vals[nan_mask] = np.nan

@@ -81,12 +81,15 @@ def train_expression_model(
     output_prefix: str | os.PathLike | None = None,
     extra_filter: np.ndarray | None = None,
     seed_resample: int | None = None,
+    holdout_train: tuple = ("chrX", "chrY", "chr8"),
     verbose: bool = False,
 ) -> TrainResult:
     """Train one tissue model (reference train.py main).
 
     ``seed_resample`` draws a bootstrap resample of the training genes with
-    replacement (train_bootstrap.py:88-98).
+    replacement (train_bootstrap.py:88-98). ``holdout_train`` is the
+    chromosomes excluded from training (train.py:127-129; the susztak sweep
+    additionally holds out chr7, train_susztak.py:117-122).
     """
     hp = params or GBLinearParams()
     X = Xreducedall
@@ -98,7 +101,7 @@ def train_expression_model(
     if extra_filter is not None:
         filt &= extra_filter
 
-    trainind, testind = chromosome_split(geneanno)
+    trainind, testind = chromosome_split(geneanno, holdout_train=holdout_train)
     tr = trainind & filt
     te = testind & filt
 
@@ -168,6 +171,7 @@ def train_bootstrap(
     keep_mask = kwargs.pop("keep_mask", None)
     n_tracks = kwargs.pop("n_tracks", 2002)
     extra_filter = kwargs.pop("extra_filter", None)
+    verbose = kwargs.pop("verbose", False)
     if kwargs:
         raise TypeError(f"unsupported kwargs for vectorized bootstrap: {sorted(kwargs)}")
 
@@ -185,11 +189,9 @@ def train_bootstrap(
     X_tr = X[tr]
     y_tr = labels[tr].astype(np.float32)
     row_w = bootstrap_row_weights(len(tr), seeds)
-    multi = train_gblinear_multi(X_tr, np.tile(y_tr[:, None], (1, len(seeds))), hp, row_weights=row_w)
+    multi = train_gblinear_multi(X_tr, np.tile(y_tr[:, None], (1, len(seeds))), hp, row_weights=row_w, verbose=verbose)
 
     results = []
-    from scipy.stats import spearmanr
-
     X_te, y_te = X[te], labels[te].astype(np.float32)
     for j, seed in enumerate(seeds):
         model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
@@ -212,21 +214,43 @@ def train_all_tissues(
     output_dir: str | os.PathLike | None = None,
     metrics_path: str | os.PathLike | None = None,
     vectorized: bool = False,
+    holdout_train: tuple = ("chrX", "chrY", "chr7", "chr8"),
     **kwargs,
 ) -> dict[str, TrainResult]:
     """Multi-tissue sweep over expression columns with a metrics.h5 summary
     (reference train_susztak.py:87-181).
 
-    ``vectorized=True`` trains all columns simultaneously via
-    :func:`train_gblinear_multi` (one sweep with (n, K) residual matmuls);
-    only rows where every column is finite participate in that mode (the
-    per-column mode keeps per-column finite filters).
+    The default train split holds out chr7 AND chr8, matching the reference
+    multi-tissue trainer exactly (train_susztak.py:117-122; the single-model
+    trainer holds out only chr8, train.py:127-129). ``vectorized=True``
+    trains all columns simultaneously via :func:`train_gblinear_multi` (one
+    sweep with (n, K) residual matmuls); only rows where every column is
+    finite participate in that mode (the per-column mode keeps per-column
+    finite filters).
     """
-    from scipy.stats import pearsonr
+    indices = target_indices if target_indices is not None else list(range(1, expression_df.shape[1]))
+    names = [str(expression_df.columns[idx]) for idx in indices]
+    if len(set(names)) != len(names):
+        import warnings
 
-    indices = target_indices or list(range(1, expression_df.shape[1]))
+        warnings.warn(
+            "duplicate expression column names: later tissues overwrite "
+            "earlier ones in the results dict and on disk (expecto_<name>.save)",
+            stacklevel=2,
+        )
     results: dict[str, TrainResult] = {}
     metrics = {"pearsonr_valid": [], "spearman_valid": [], "tissue": []}
+
+    def _record(name: str, res: TrainResult) -> None:
+        from scipy.stats import pearsonr
+
+        results[name] = res
+        metrics["tissue"].append(name)
+        metrics["spearman_valid"].append(res.spearman)
+        finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
+        metrics["pearsonr_valid"].append(
+            float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
+        )
 
     if vectorized:
         hp = kwargs.pop("params", None) or GBLinearParams()
@@ -235,6 +259,7 @@ def train_all_tissues(
         extra_filter = kwargs.pop("extra_filter", None)
         keep_mask = kwargs.pop("keep_mask", None)
         n_tracks = kwargs.pop("n_tracks", 2002)
+        verbose = kwargs.pop("verbose", False)
         if kwargs:
             raise TypeError(f"unsupported kwargs for vectorized sweep: {sorted(kwargs)}")
         if keep_mask is not None:
@@ -243,13 +268,12 @@ def train_all_tissues(
         filt = gene_filter(geneanno, filter_str) & np.isfinite(Y).all(axis=1)
         if extra_filter is not None:
             filt = filt & np.asarray(extra_filter)
-        trainind, testind = chromosome_split(geneanno)
+        trainind, testind = chromosome_split(geneanno, holdout_train=holdout_train)
         tr = trainind & filt
         te = testind & filt
-        multi = train_gblinear_multi(Xreducedall[tr], Y[tr].astype(np.float32), hp)
+        multi = train_gblinear_multi(Xreducedall[tr], Y[tr].astype(np.float32), hp, verbose=verbose)
         X_te, Y_te = Xreducedall[te], Y[te]
-        for j, idx in enumerate(indices):
-            name = str(expression_df.columns[idx])
+        for j, name in enumerate(names):
             model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
             pred = model.predict(X_te)
             rho = float(spearmanr(pred, Y_te[:, j]).statistic) if len(pred) > 1 else float("nan")
@@ -257,40 +281,19 @@ def train_all_tissues(
                 os.makedirs(output_dir, exist_ok=True)
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.save"))
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.dump"))
-            results[name] = TrainResult(model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32))
-        iter_results = results.items()
-        for name, res in iter_results:
-            metrics["tissue"].append(name)
-            metrics["spearman_valid"].append(res.spearman)
-            finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
-            metrics["pearsonr_valid"].append(
-                float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
+            _record(name, TrainResult(model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32)))
+    else:
+        for idx, name in zip(indices, names):
+            prefix = None
+            if output_dir is not None:
+                os.makedirs(output_dir, exist_ok=True)
+                prefix = os.path.join(output_dir, f"expecto_{name}")
+            res = train_expression_model(
+                Xreducedall, geneanno, expression_df.iloc[:, idx].values,
+                output_prefix=prefix, holdout_train=holdout_train, **kwargs
             )
-        if metrics_path is not None:
-            import h5py
+            _record(name, res)
 
-            with h5py.File(metrics_path, "w") as f:
-                f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valid"]))
-                f.create_dataset("spearman_valid", data=np.asarray(metrics["spearman_valid"]))
-                f.create_dataset("tissue", data=np.array(metrics["tissue"], dtype="S"))
-        return results
-
-    for idx in indices:
-        name = str(expression_df.columns[idx])
-        prefix = None
-        if output_dir is not None:
-            os.makedirs(output_dir, exist_ok=True)
-            prefix = os.path.join(output_dir, f"expecto_{name}")
-        res = train_expression_model(
-            Xreducedall, geneanno, expression_df.iloc[:, idx].values, output_prefix=prefix, **kwargs
-        )
-        results[name] = res
-        metrics["tissue"].append(name)
-        metrics["spearman_valid"].append(res.spearman)
-        finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
-        metrics["pearsonr_valid"].append(
-            float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
-        )
     if metrics_path is not None:
         import h5py
 

@@ -340,6 +340,39 @@ class TestProfiles:
         out = join_counts_to_geneanno(geneanno, counts, on="index", log2_offset=0.1)
         assert out.iloc[0, 0] == pytest.approx(10.0)
 
+    def test_rank_match_integer_counts(self):
+        """Integer count columns must not crash the NaN write or truncate
+        fractional reference values (regression: int64 vals[...] = np.nan
+        raised, and float refs were silently floored)."""
+        from expecto_tpu.pipeline.profiles import rank_match_to_profile
+
+        out = pd.DataFrame({"t": np.array([10, 1, 5], dtype=np.int64)})
+        matched = rank_match_to_profile(out, pd.Series([100.75, 5.5, 50.25]))
+        assert matched.iloc[0, 0] == pytest.approx(100.75)  # not floored to 100
+        assert matched.iloc[1, 0] == pytest.approx(5.5)
+
+    def test_duplicate_join_keys_warn(self):
+        from expecto_tpu.pipeline.profiles import join_counts_to_geneanno
+
+        geneanno = pd.DataFrame({"symbol": ["g1", "g2"]}, index=["E1", "E2"])
+        counts = pd.DataFrame({"t": [1.0, 2.0, 3.0]}, index=["E1", "E1", "E2"])
+        with pytest.warns(UserWarning, match="row-aligns"):
+            out = join_counts_to_geneanno(geneanno, counts, on="index")
+        assert len(out) == 3  # reference left-merge behavior, but loudly
+
+
+def test_all_tissues_holdout_matches_susztak():
+    """The multi-tissue sweep must exclude chr7 AND chr8 from training
+    (train_susztak.py:117-122), unlike the single-model chr8-only split."""
+    from expecto_tpu.pipeline.train import chromosome_split
+
+    geneanno = pd.DataFrame({"seqnames": ["chr1", "chr7", "chr8", "chrX"]})
+    tr, te = chromosome_split(geneanno, holdout_train=("chrX", "chrY", "chr7", "chr8"))
+    assert list(tr) == [True, False, False, False]
+    assert list(te) == [False, False, True, False]
+    tr_single, _ = chromosome_split(geneanno)  # reference train.py split
+    assert list(tr_single) == [True, True, False, False]
+
 
 class TestClosestGenes:
     @pytest.fixture()
