@@ -60,8 +60,13 @@ def main(argv=None) -> int:
         vcf[failed].to_csv(f"{args.output_dir}/not_lifted.vcf", sep="\t", header=False, index=False)
         vcf = lifted[~failed]
 
-    write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
+    # standardize BEFORE writing snps_hg19.vcf: the emitted file is the
+    # documented --coorFile for the predict step, so its rows must align
+    # 1:1 with the per-shift h5s (a non-canonical contig row would desync
+    # them). The reference writes pre-standardization (chromatin.py:232-241)
+    # — a deliberate divergence.
     vcf = standardize_chroms(vcf)
+    write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
 
     params = load_params_npz(args.beluga_weights)
     runner = BelugaRunner(

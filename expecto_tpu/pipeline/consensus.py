@@ -369,6 +369,8 @@ def predict_consensus_genes(
     genes_df["gene_symbol"] = genes_df["gene_symbol"].fillna(genes_df["ens_id"]).str.lower()
     genes_df = genes_df.set_index("gene_symbol")
 
+    if (num_chunks is None) != (chunk_i is None):
+        raise ValueError("num_chunks and chunk_i must be passed together")
     if num_chunks is not None:
         genes = list(np.array_split(np.array(genes, dtype=object), num_chunks)[chunk_i])
         if not genes:

@@ -37,6 +37,10 @@ def merge_sed_batches(batch_dir: str, out_dir: str, n_chunks: int | None = None)
     if n_chunks is not None and len(sed_files) != n_chunks:
         raise AssertionError(f"Expected {n_chunks} chunks but got {len(sed_files)} sed files")
     sed_df = pd.concat([pd.read_csv(f, sep="\t") for f in sed_files])
+    # index=True (a repeating per-chunk RangeIndex as the first column) is
+    # exactly what the reference merger emits (merge_predict_batched.py:27);
+    # kept for byte-level output parity even though per-chunk sed.tsv files
+    # are written index=False
     sed_df.to_csv(f"{out_dir}/sed.tsv", sep="\t")
     return sed_df
 
@@ -97,6 +101,8 @@ def compress_h5_tree(
     sidecars), so the compressor is dataset-generic: every float dataset is
     rewritten float16 + gzip-9 and every non-float dataset is copied
     verbatim — nothing is dropped before the original is deleted."""
+    if (num_chunks is None) != (chunk_i is None):
+        raise ValueError("num_chunks and chunk_i must be passed together")
     os.makedirs(out_dir, exist_ok=True)
     written = []
     center_files = natsorted(glob.glob(f"{preds_dir}/*/*.h5"))

@@ -51,18 +51,21 @@ def load_shift_effects(pattern: str, maxshift: int = 800) -> dict[str, np.ndarra
 
 def get_num_repeats(genes_df: pd.DataFrame) -> list[int]:
     """Count consecutive rows per variant key in the closest-gene file
-    (predict.py:202-213): maps N variants -> M (variant, gene) rows."""
-    repeats = [0]
-    i = 0
-    prev = None
-    for _, row in genes_df.iterrows():
-        curr = ":".join(map(str, row.iloc[0:5]))
-        if prev is not None and curr != prev:
-            repeats.append(0)
-            i += 1
-        repeats[i] += 1
-        prev = curr
-    return repeats
+    (predict.py:202-213): maps N variants -> M (variant, gene) rows.
+
+    Vectorized run-length encoding over the 5-column key — the reference's
+    per-row iterrows/join loop costs ~1 min on a 1M-row association table
+    before any scoring starts."""
+    if genes_df.shape[0] == 0:
+        return [0]
+    key = genes_df.iloc[:, 0].astype(str)
+    for c in range(1, 5):
+        key = key + ":" + genes_df.iloc[:, c].astype(str)
+    key = key.to_numpy()
+    boundary = np.concatenate([[True], key[1:] != key[:-1]])
+    starts = np.flatnonzero(boundary)
+    lengths = np.diff(np.concatenate([starts, [len(key)]]))
+    return lengths.tolist()
 
 
 @dataclass
@@ -108,9 +111,10 @@ def align_variants_with_genes(
     )
 
 
-def _project(inputs: SedInputs, maxshift: int, keep_mask: np.ndarray | None, n_tracks: int):
+def _project(inputs: SedInputs, maxshift: int, keep_mask: np.ndarray | None, n_tracks: int, keys=None):
     basis = variant_basis(inputs.dist, inputs.strand, variant_shifts(maxshift))  # (S, M, 10)
-    feats = {k: project_features(basis, v) for k, v in inputs.effects.items()}
+    use = inputs.effects if keys is None else {k: inputs.effects[k] for k in keys}
+    feats = {k: project_features(basis, v) for k, v in use.items()}
     if keep_mask is not None:
         feats = {k: subset_features_by_mask(v, keep_mask, N_BASIS, n_tracks) for k, v in feats.items()}
     return feats
@@ -150,23 +154,28 @@ def score_sed(
     """Single-model SED scoring -> sed.tsv (+ sorted variants)
     (fork contract, predict.py:249-280)."""
     inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
-    feats = _project(inputs, maxshift, keep_mask, n_tracks)
+    have_refalt = "ref" in inputs.effects and "alt" in inputs.effects
+    # fork-schema inputs (diff/ref/alt) report SED = ALT - REF only
+    # (predict.py:264; the diff-based 'effect' is dead code there,
+    # SURVEY §2.1) — skip projecting/scoring the diff tensor entirely,
+    # ~1/3 of the projection FLOPs on the scoring path
+    keys = ("ref", "alt") if have_refalt else ("diff",)
+    feats = _project(inputs, maxshift, keep_mask, n_tracks, keys=keys)
 
     def predict(X):
         return model.predict(_match_model_features(X, model, n_tracks))
 
-    have_refalt = "ref" in feats and "alt" in feats
-    # predict(0-features) is exactly the constant base_score + bias — no need
-    # to materialize a zero matrix and run a matvec for it
-    base = np.full(feats["diff"].shape[0], model.base_score + model.bias, dtype=np.float32)
-    effect = base - predict(feats["diff"])
     if have_refalt:
         ref = predict(feats["ref"])
         alt = predict(feats["alt"])
         sed = alt - ref
     else:
         # legacy single-'pred' inputs carry no ref/alt tracks; SED falls back
-        # to the diff-based effect (original ExPecto semantics)
+        # to the diff-based effect (original ExPecto semantics).
+        # predict(0-features) is exactly the constant base_score + bias — no
+        # need to materialize a zero matrix and run a matvec for it
+        base = np.full(feats["diff"].shape[0], model.base_score + model.bias, dtype=np.float32)
+        effect = base - predict(feats["diff"])
         ref = np.zeros_like(effect)
         alt = np.zeros_like(effect)
         sed = -effect
@@ -343,9 +352,9 @@ def score_sed_with_clusters(
     )
 
     inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
-    feats = _project(inputs, maxshift, keep_mask, n_tracks)
-    if "ref" not in feats or "alt" not in feats:
+    if "ref" not in inputs.effects or "alt" not in inputs.effects:
         raise ValueError("cluster attribution requires ref/alt datasets (fork h5 schema)")
+    feats = _project(inputs, maxshift, keep_mask, n_tracks, keys=("ref", "alt"))
 
     def predict(X):
         return model.predict(_match_model_features(X, model, n_tracks))
@@ -398,7 +407,7 @@ def score_sed_multimodel(
     entire modellist scores as a single matmul.
     """
     inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
-    feats = _project(inputs, maxshift, keep_mask, n_tracks)
+    feats = _project(inputs, maxshift, keep_mask, n_tracks, keys=("diff",))
 
     models = [load_expression_model(p) for p in model_paths]
     n_feats = {m.n_features for m in models}

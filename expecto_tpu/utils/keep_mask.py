@@ -53,6 +53,10 @@ def get_keep_mask(
                 hgnc_assays[i] = match["Approved symbol"].upper()
         hgnc_df = beluga_features_df.copy()
         hgnc_df["Assay"] = hgnc_assays
+        # one-sided .upper(): mapped assay symbols are uppercased while the
+        # Lambert list is compared verbatim — replicates the reference
+        # exactly (cluster_utils.py:35,40); the shipped Lambert table stores
+        # uppercase approved symbols so this matches in practice
         keep_mask &= hgnc_df["Assay"].isin(lambert_df["Approved symbol"].values).values
         keep_mask &= (~hgnc_df["Assay"].isnull()).values
 

@@ -32,8 +32,16 @@ class ShardManifest:
         if self.path.exists():
             self._state = json.loads(self.path.read_text())
             if items is not None:
+                added = False
                 for it in items:
-                    self._state.setdefault(str(it), {"status": "pending"})
+                    if str(it) not in self._state:
+                        self._state[str(it)] = {"status": "pending"}
+                        added = True
+                if added:
+                    # persist merged-in items NOW: a crash before any
+                    # mark_done must leave them visible as pending, or a
+                    # later no-items reader would call the run complete
+                    self._flush()
         else:
             self._state = {str(it): {"status": "pending"} for it in (items or [])}
             self._flush()
