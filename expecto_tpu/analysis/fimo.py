@@ -67,8 +67,14 @@ def filter_fimo_results(fimo_out_path: str, bp_pad: int = 30) -> pd.DataFrame:
     whose header row is uncommented ('motif_id\\tmotif_alt_id\\t...')."""
     df = pd.read_table(fimo_out_path, sep="\t", names=FIMO_COLUMNS, comment="#")
     if len(df) and str(df.iloc[0, 0]) == "motif_id":  # uncommented MEME>=5 header
-        df = df.iloc[1:]
-        df = df.astype({"start": np.int64, "stop": np.int64, "p-value": np.float64})
+        df = df.iloc[1:].copy()
+        # the header row forced every column to object: restore ALL numeric
+        # columns (score/q-value too), not just the ones this filter touches —
+        # downstream numeric consumers must never compare strings
+        for col in ("start", "stop", "score", "p-value", "q-value"):
+            if col in df.columns:
+                df[col] = pd.to_numeric(df[col], errors="coerce")
+        df = df.astype({"start": np.int64, "stop": np.int64})
     df = df[(df["start"] <= (bp_pad + 1)) & (df["stop"] >= (bp_pad + 1))]
     return df.sort_values(by="p-value").drop_duplicates(subset=["motif_id", "motif_alt_id", "sequence_name"], keep="first")
 

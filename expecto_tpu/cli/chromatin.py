@@ -65,7 +65,16 @@ def main(argv=None) -> int:
     # 1:1 with the per-shift h5s (a non-canonical contig row would desync
     # them). The reference writes pre-standardization (chromatin.py:232-241)
     # — a deliberate divergence.
-    vcf = standardize_chroms(vcf)
+    n_before = vcf.shape[0]
+    std = standardize_chroms(vcf)
+    if std.shape[0] != n_before:
+        # rows on non-canonical contigs leave the pipeline here — quarantine
+        # them like liftover failures so input/output row counts reconcile
+        dropped = vcf[~vcf.index.isin(std.index)]
+        dropped.to_csv(f"{args.output_dir}/dropped_contigs.vcf", sep="\t", header=False, index=False)
+        print(f"Dropped {n_before - std.shape[0]} variants on non-canonical contigs "
+              f"(written to {args.output_dir}/dropped_contigs.vcf)")
+    vcf = std
     write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
 
     params = load_params_npz(args.beluga_weights)

@@ -33,6 +33,10 @@ _IDX_SUFFIX = ".etidx.json"
 
 
 def _source_fingerprint(fasta_path: Path) -> list[int]:
+    # (size, mtime_ns) is cheap and catches re-downloads/regenerations; a
+    # same-size mtime-preserving copy (cp -p / tar -p) of a *different*
+    # genome defeats it — callers swapping genomes that way must delete the
+    # sidecars (a content hash would cost a 3 GB read per open).
     st = fasta_path.stat()
     return [int(st.st_size), int(st.st_mtime_ns)]
 
@@ -123,17 +127,30 @@ class FastaIndex:
         Rebuild when sidecars are missing OR the source FASTA changed since
         they were built (size+mtime fingerprint) — a re-downloaded or swapped
         genome must not be silently served from stale sidecars.
-        Pre-fingerprint sidecars (no ``__source__`` key) rebuild once. If
-        the source FASTA itself is gone but both sidecars exist, they are
-        served as-is (sidecars-only deployments that delete the 3 GB source
-        after the one-time build)."""
+        Pre-fingerprint sidecars (a flat ``{name: [off, len]}`` dict, no
+        ``__source__`` key) rebuild once to record the fingerprint — unless
+        the source FASTA is gone, in which case they are served as-is:
+        sidecars-only deployments (source deleted after the one-time build)
+        must not crash on a format migration. New-format sidecars without a
+        source are likewise served as-is."""
         if not (flat.exists() and idx.exists()):
             return None
         try:
             meta = json.loads(idx.read_text())
+        except ValueError:
+            return None
+        try:
             contigs = meta["contigs"]
             stamp = meta["__source__"]
-        except (KeyError, TypeError, ValueError):
+        except (KeyError, TypeError):
+            # old-format sidecar: the whole dict is the contig index
+            if (
+                not self.path.exists()
+                and isinstance(meta, dict)
+                and meta
+                and all(isinstance(v, list) and len(v) == 2 for v in meta.values())
+            ):
+                return meta
             return None
         if not self.path.exists():
             return contigs
@@ -182,6 +199,20 @@ class FastaIndex:
                 raw = np.frombuffer(self._mmap, dtype=np.uint8, count=hi - lo, offset=off + lo)
                 out[i, lo - int(s) : lo - int(s) + (hi - lo)] = _BYTE_LUT[raw]
         return out
+
+    def window_bytes(self, chrom: str, starts_1based, window_len: int) -> "np.ndarray":
+        """(n, window_len) raw sequence bytes for fixed-length windows, in one
+        vectorized gather; positions outside the contig are 0 (no base ever
+        compares equal to it). Batched replacement for per-row
+        :meth:`sequence` calls on hot diagnostic paths."""
+        off, length = self._index[chrom]
+        starts0 = np.asarray(starts_1based, dtype=np.int64) - 1
+        if length == 0 or starts0.size == 0:
+            return np.zeros((starts0.shape[0], window_len), np.uint8)
+        contig = np.frombuffer(self._mmap, dtype=np.uint8, count=length, offset=off)
+        idx = starts0[:, None] + np.arange(window_len, dtype=np.int64)[None, :]
+        valid = (idx >= 0) & (idx < length)
+        return np.where(valid, contig[np.clip(idx, 0, length - 1)], np.uint8(0))
 
     def sequence_bytes(self, chrom: str, start: int, stop: int) -> bytes:
         off, length = self._index[chrom]

@@ -218,6 +218,12 @@ def _multi_round_body(hp: GBLinearParams, axis_name=None):
     (all-ones). Per-feature stats become single MXU matmuls over all models:
     G = X_blk @ (w * r), H = X_blk^2 @ w. Feature blocks are arguments, not
     closure captures (see _round_body).
+
+    Unlike ``_round_body``, the hessian is NOT psum-reduced here: it is
+    loop-invariant and precomputed by the caller. With ``axis_name`` set,
+    ``hess_blocks`` must therefore already be the GLOBAL (psum-reduced)
+    hessians — mirroring ``make_sharded_round_fn``'s col_hess_blocks
+    contract; passing locally-computed hessians would silently under-damp.
     """
 
     def psum(x):

@@ -46,31 +46,66 @@ class ChromatinResult:
     arrays: dict | None = None
 
 
+def _pad_allele_bytes(alleles, lens, max_len: int) -> np.ndarray:
+    """(n, max_len) uppercased allele bytes, zero-padded; columns past
+    ``max_len`` (insertions longer than the site window) are dropped."""
+    n = len(alleles)
+    cat = np.frombuffer("".join(alleles).upper().encode("latin-1"), np.uint8)
+    rows = np.repeat(np.arange(n), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cols = np.arange(cat.size) - np.repeat(offs, lens)
+    out = np.zeros((n, max_len), np.uint8)
+    keep = cols < max_len
+    out[rows[keep], cols[keep]] = cat[keep]
+    return out
+
+
 def _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose):
     """Shift-0 ref/alt genome-match counts (reference chromatin.py:256-260).
 
-    Only the ``len(ref)`` genome bases at the variant site are compared, so
-    this fetches a few bytes per variant instead of re-building the full
-    2,100-bp spliced windows the prediction paths fetch anyway. Near a
-    contig start the reference's window slicing reads a clamp-shifted site;
-    that quirk is reproduced so counts stay bit-identical."""
+    One vectorized :meth:`FastaIndex.window_bytes` gather per chromosome
+    (instead of a per-variant ``genome.sequence`` loop — ~1e5 calls per
+    chunk on the hot CLI); only the ``len(ref)`` genome bases at each site
+    are compared. Near a contig start the reference's window slicing reads a
+    clamp-shifted site; that quirk is reproduced so counts stay
+    bit-identical."""
+    n = len(chroms)
+    if n == 0:
+        if verbose:
+            print("Number of input variants: 0")
+        return 0, 0
     windowsize = inputsize + 100
     mutpos = int(windowsize / 2 - 1)
-    ref_matched = alt_matched = 0
-    for i in range(len(chroms)):
-        if positions[i] - mutpos >= 1:
-            site = genome.sequence(chroms[i], positions[i], positions[i] + len(refs[i]) - 1).upper()
-        else:  # clamp-shifted window start (reference pyfasta behavior)
-            seq = genome.sequence(
-                chroms[i], positions[i] - mutpos, positions[i] + int(windowsize / 2)
-            )
-            site = seq[mutpos : mutpos + len(refs[i])].upper()
-        ref_matched += site == refs[i].upper()
-        alt_matched += site == alts[i].upper()
+    positions = np.asarray(positions, dtype=np.int64)
+    ref_lens = np.array([len(r) for r in refs], dtype=np.int64)
+    alt_lens = np.array([len(a) for a in alts], dtype=np.int64)
+    max_len = max(int(ref_lens.max()), 1)
+
+    # the reference slices the site out of the (pos+shift-centered) window;
+    # a window clamped at the contig start shifts the read site to mutpos+1
+    eff_starts = np.where(positions - mutpos >= 1, positions, mutpos + 1)
+    site = np.zeros((n, max_len), np.uint8)
+    chroms = np.asarray(chroms)
+    for chrom in dict.fromkeys(chroms.tolist()):
+        m = chroms == chrom
+        site[m] = genome.window_bytes(chrom, eff_starts[m], max_len)
+    site = np.where((site >= 97) & (site <= 122), site - 32, site)  # upper()
+
+    # rows compare over their own allele length only; the padded tail is
+    # masked. A site truncated at the contig end reads 0 there and can never
+    # match (the string path's length mismatch).
+    tail = np.arange(max_len)[None, :]
+    ref_pad = _pad_allele_bytes(refs, ref_lens, max_len)
+    alt_pad = _pad_allele_bytes(alts, alt_lens, max_len)
+    ref_matched = int(((site == ref_pad) | (tail >= ref_lens[:, None])).all(axis=1).sum())
+    alt_rows = ((site == alt_pad) | (tail >= alt_lens[:, None])).all(axis=1)
+    # the site string has len(ref) characters; a different-length alt can
+    # never equal it (indels never count as alt-matched)
+    alt_matched = int((alt_rows & (alt_lens == ref_lens)).sum())
     if verbose:
         print(f"Number of variants with reference allele matched with reference genome: {ref_matched}")
         print(f"Number of variants with alternate allele matched with reference genome: {alt_matched}")
-        print(f"Number of input variants: {len(chroms)}")
+        print(f"Number of input variants: {n}")
     return ref_matched, alt_matched
 
 
@@ -173,7 +208,8 @@ def compute_variant_chromatin_effects(
     ref_matched, alt_matched = _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose)
     result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=ref_matched, alt_matched=alt_matched)
 
-    all_substitutions = all(len(r) == len(a) for r, a in zip(refs, alts))
+    is_sub = np.array([len(r) == len(a) for r, a in zip(refs, alts)], dtype=bool)
+    all_substitutions = bool(is_sub.all())
     span_capable = hasattr(runner, "predict_span_codes")
     if use_spans == "always":
         if not all_substitutions:
@@ -185,6 +221,28 @@ def compute_variant_chromatin_effects(
             raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")
     if use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
         per_shift = _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize)
+    elif use_spans == "auto" and span_capable and is_sub.any():
+        # mixed VCF: substitutions keep the span fast path, indels take the
+        # per-window path, rows re-merged into input order (one slow row must
+        # not demote the whole chunk)
+        sub = np.nonzero(is_sub)[0]
+        ind = np.nonzero(~is_sub)[0]
+        ps_sub = _run_span_path(
+            genome, runner, chroms[sub], positions[sub], refs[sub], alts[sub], shifts, maxshift, inputsize
+        )
+        ps_ind = _run_window_path(
+            genome, runner, chroms[ind], positions[ind], refs[ind], alts[ind], shifts, inputsize
+        )
+        per_shift = {}
+        for shift in shifts:
+            rows = {}
+            for name, src_s, src_i in (("ref", ps_sub[shift][0], ps_ind[shift][0]),
+                                        ("alt", ps_sub[shift][1], ps_ind[shift][1])):
+                merged = np.empty((2 * n, src_s.shape[1]), dtype=np.float32)
+                merged[sub], merged[n + sub] = src_s[: len(sub)], src_s[len(sub) :]
+                merged[ind], merged[n + ind] = src_i[: len(ind)], src_i[len(ind) :]
+                rows[name] = merged
+            per_shift[shift] = (rows["ref"], rows["alt"])
     else:
         per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
 

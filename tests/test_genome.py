@@ -51,6 +51,36 @@ class TestFasta:
         fa2.close()
 
 
+    def test_old_format_sidecars_served_when_source_deleted(self, tmp_path):
+        """Pre-fingerprint sidecars (flat {name: [off, len]} index) on a
+        deployment that deleted the source FASTA must be served as-is, not
+        crash attempting a rebuild of a missing file."""
+        import json
+        import os
+
+        seq = "ACGTTGCA" * 50
+        write_fasta(tmp_path / "x.fa", {"c": seq}, width=10)
+        FastaIndex(tmp_path / "x.fa").close()  # builds new-format sidecars
+        idx_path = tmp_path / "x.fa.etidx.json"
+        meta = json.loads(idx_path.read_text())
+        idx_path.write_text(json.dumps(meta["contigs"]))  # downgrade to old format
+        os.remove(tmp_path / "x.fa")
+        fa = FastaIndex(tmp_path / "x.fa")
+        assert fa.sequence("c", 1, 8) == "ACGTTGCA"
+        fa.close()
+
+    def test_window_bytes_matches_sequence(self, tiny_genome):
+        fa, contigs = tiny_genome
+        got = fa.window_bytes("chr1", [1, 100, 59998, -3, 70000], 6)
+        assert got[0].tobytes().decode() == contigs["chr1"][:6]
+        assert got[1].tobytes().decode() == contigs["chr1"][99:105]
+        # clamped windows zero-fill outside the contig
+        assert got[2].tobytes()[:3].decode() == contigs["chr1"][59997:]
+        assert bytes(got[2][3:]) == b"\0\0\0"
+        assert bytes(got[3][:4]) == b"\0\0\0\0"
+        assert bytes(got[4]) == b"\0" * 6
+
+
 class TestShifts:
     def test_variant_shift_enumeration(self):
         assert variant_shifts(800) == [0, -200, -400, -600, -800, 200, 400, 600, 800]

@@ -86,6 +86,93 @@ class TestChromatinPipeline:
             np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
 
 
+class TestMixedVcfPathSplit:
+    def test_mixed_vcf_splits_by_variant_class(self, tiny_genome, runner, tmp_path):
+        """A mixed substitution/indel VCF must route substitutions through the
+        span fast path and indels through the window path, with rows merged
+        back in input order — one indel must not demote the whole chunk."""
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        rows = [
+            ["chr1", 5000, ".", c1[4999], "T" if c1[4999] != "T" else "A"],      # sub
+            ["chr1", 9000, ".", c1[8999 : 8999 + 3], c1[8999]],                  # deletion
+            ["chr1", 12000, ".", c1[11999], "C" if c1[11999] != "C" else "G"],   # sub
+            ["chr1", 20000, ".", c1[19999], c1[19999] + "AG"],                   # insertion
+        ]
+        vcf = pd.DataFrame(rows)
+        sub_idx, ind_idx = [0, 2], [1, 3]
+
+        res = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, verbose=False
+        )
+        res_sub = compute_variant_chromatin_effects(
+            vcf.iloc[sub_idx], fa, runner, None, maxshift=200, keep_arrays=True,
+            use_spans="always", verbose=False,
+        )
+        res_ind = compute_variant_chromatin_effects(
+            vcf.iloc[ind_idx], fa, runner, None, maxshift=200, keep_arrays=True,
+            use_spans="never", verbose=False,
+        )
+        n, ns, ni = 4, 2, 2
+        for shift in res.shifts:
+            for k in range(3):  # diff, ref, alt
+                merged = res.arrays[shift][k]
+                subset = res_sub.arrays[shift][k]
+                indset = res_ind.arrays[shift][k]
+                assert merged.shape == (2 * n, subset.shape[1])
+                # per-class bit-equality (same kernels, same inputs), rows in
+                # input order, fwd rows [0:N] / RC rows [N:2N]
+                np.testing.assert_array_equal(merged[sub_idx], subset[:ns])
+                np.testing.assert_array_equal(merged[[n + i for i in sub_idx]], subset[ns:])
+                np.testing.assert_array_equal(merged[ind_idx], indset[:ni])
+                np.testing.assert_array_equal(merged[[n + i for i in ind_idx]], indset[ni:])
+
+
+class TestDiagnostics:
+    def test_vectorized_matches_string_loop(self, tiny_genome):
+        """The batched window_bytes diagnostics must count exactly like the
+        reference's per-variant string compare (chromatin.py:256-260),
+        including the clamp-shifted site near a contig start, indels,
+        lowercase alleles, and contig-end truncation."""
+        from expecto_tpu.pipeline.chromatin import _diagnostics
+
+        fa, contigs = tiny_genome
+        inputsize = 2000
+        mutpos = int((inputsize + 100) / 2 - 1)
+
+        def oracle(chroms, positions, refs, alts):
+            rm = am = 0
+            for i in range(len(chroms)):
+                if positions[i] - mutpos >= 1:
+                    site = fa.sequence(chroms[i], positions[i], positions[i] + len(refs[i]) - 1).upper()
+                else:
+                    seq = fa.sequence(chroms[i], positions[i] - mutpos, positions[i] + int((inputsize + 100) / 2))
+                    site = seq[mutpos : mutpos + len(refs[i])].upper()
+                rm += site == refs[i].upper()
+                am += site == alts[i].upper()
+            return rm, am
+
+        c1 = contigs["chr1"]
+        rows = [
+            ("chr1", 5000, c1[4999], "T"),                   # ref matches
+            ("chr1", 5001, "N", c1[5000]),                   # alt matches
+            ("chr1", 700, c1[699], "A"),                     # clamped window start
+            ("chr1", 100, c1[mutpos], "G"),                  # clamp-shifted site read
+            ("chr1", 8000, c1[7999:8003], "T"),              # 4-bp ref (deletion-style)
+            ("chr1", 8100, c1[8099], c1[8099] + "TTT"),      # insertion: alt never matches
+            ("chr1", 9000, c1[8999].lower(), c1[8999]),      # case-insensitive; both match
+            ("chr1", len(c1) - 1, c1[-2:] + "AA", "C"),      # ref runs past the contig end
+            ("chr2", 3000, contigs["chr2"][2999], "A"),
+        ]
+        chroms = [r[0] for r in rows]
+        positions = [r[1] for r in rows]
+        refs = [r[2] for r in rows]
+        alts = [r[3] for r in rows]
+        got = _diagnostics(fa, chroms, positions, refs, alts, inputsize, verbose=False)
+        assert got == oracle(chroms, positions, refs, alts)
+        assert got[0] >= 5  # the matched rows above actually matched
+
+
 class TestLegacyWrite:
     def test_legacy_h5_roundtrip(self, tiny_genome, tiny_vcf, runner, tmp_path):
         from expecto_tpu.io.h5 import write_legacy_shift_h5
