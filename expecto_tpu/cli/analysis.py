@@ -609,14 +609,27 @@ def main(argv=None) -> int:
     elif args.cmd == "plot-metrics":
         import h5py
 
-        from ..utils.plotting import plot_metric_hist
+        from ..utils.plotting import plot_metric_hist, plot_scatter_hist
 
+        n_written = 0
         with h5py.File(args.metrics_h5, "r") as f:
-            names = list(f.keys())
-            for name in names:
+            for name in f.keys():
+                if f[name].dtype.kind in "SU":  # tissue-name labels
+                    continue
                 vals = np.asarray(f[name])
                 plot_metric_hist(vals, f"{args.out_dir}/{name}_hist.png", xlabel=name, title=name)
-        print(f"wrote {len(names)} histograms to {args.out_dir}")
+                n_written += 1
+            # reference plot_susztak.py:64-83 train-vs-valid scatter_hists
+            for metric, fname in (("pearsonr", "pearsonr.png"), ("r2", "r2.png")):
+                tr, va = f"{metric}_trains", f"{metric}_valids"
+                if tr in f and va in f and f[tr].shape[0] > 0:
+                    plot_scatter_hist(
+                        np.asarray(f[tr]), np.asarray(f[va]), f"{args.out_dir}/{fname}",
+                        xlabel=f"Train {metric} (holding out chr8, chr7)",
+                        ylabel=f"Valid {metric} (chr8)",
+                    )
+                    n_written += 1
+        print(f"wrote {n_written} plots to {args.out_dir}")
 
     elif args.cmd == "plot-distributions":
         from ..utils.plotting import plot_expression_distributions

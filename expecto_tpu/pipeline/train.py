@@ -239,18 +239,37 @@ def train_all_tissues(
             stacklevel=2,
         )
     results: dict[str, TrainResult] = {}
-    metrics = {"pearsonr_valid": [], "spearman_valid": [], "tissue": []}
+    # reference metrics.h5 key set (train_susztak.py:177-181, consumed by
+    # plot_susztak.py:64-83) plus this engine's extra spearman/tissue columns
+    metrics = {
+        "pearsonr_valids": [], "r2_valids": [], "pearsonr_trains": [], "r2_trains": [],
+        "spearman_valid": [], "tissue": [],
+    }
+
+    def _pearson_r2(pred, true) -> tuple[float, float]:
+        from scipy.stats import pearsonr
+        from sklearn.metrics import r2_score
+
+        if pred is None or true is None:
+            return float("nan"), float("nan")
+        finite = np.isfinite(pred) & np.isfinite(true)
+        if finite.sum() <= 1:
+            return float("nan"), float("nan")
+        return (
+            float(pearsonr(pred[finite], true[finite]).statistic),
+            float(r2_score(y_true=true[finite], y_pred=pred[finite])),
+        )
 
     def _record(name: str, res: TrainResult) -> None:
-        from scipy.stats import pearsonr
-
         results[name] = res
         metrics["tissue"].append(name)
         metrics["spearman_valid"].append(res.spearman)
-        finite = np.isfinite(res.test_pred) & np.isfinite(res.test_true)
-        metrics["pearsonr_valid"].append(
-            float(pearsonr(res.test_pred[finite], res.test_true[finite]).statistic) if finite.sum() > 1 else float("nan")
-        )
+        pr_v, r2_v = _pearson_r2(res.test_pred, res.test_true)
+        pr_t, r2_t = _pearson_r2(res.train_pred, res.train_true)
+        metrics["pearsonr_valids"].append(pr_v)
+        metrics["r2_valids"].append(r2_v)
+        metrics["pearsonr_trains"].append(pr_t)
+        metrics["r2_trains"].append(r2_t)
 
     if vectorized:
         hp = kwargs.pop("params", None) or GBLinearParams()
@@ -271,17 +290,23 @@ def train_all_tissues(
         trainind, testind = chromosome_split(geneanno, holdout_train=holdout_train)
         tr = trainind & filt
         te = testind & filt
-        multi = train_gblinear_multi(Xreducedall[tr], Y[tr].astype(np.float32), hp, verbose=verbose)
+        X_tr, Y_tr = Xreducedall[tr], Y[tr]
+        multi = train_gblinear_multi(X_tr, Y_tr.astype(np.float32), hp, verbose=verbose)
         X_te, Y_te = Xreducedall[te], Y[te]
         for j, name in enumerate(names):
             model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
             pred = model.predict(X_te)
+            pred_tr = model.predict(X_tr)
             rho = float(spearmanr(pred, Y_te[:, j]).statistic) if len(pred) > 1 else float("nan")
+            rho_tr = float(spearmanr(pred_tr, Y_tr[:, j]).statistic) if len(pred_tr) > 1 else float("nan")
             if output_dir is not None:
                 os.makedirs(output_dir, exist_ok=True)
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.save"))
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.dump"))
-            _record(name, TrainResult(model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32)))
+            _record(name, TrainResult(
+                model=model, spearman=rho, test_pred=pred, test_true=Y_te[:, j].astype(np.float32),
+                train_spearman=rho_tr, train_pred=pred_tr, train_true=Y_tr[:, j].astype(np.float32),
+            ))
     else:
         for idx, name in zip(indices, names):
             prefix = None
@@ -298,7 +323,10 @@ def train_all_tissues(
         import h5py
 
         with h5py.File(metrics_path, "w") as f:
-            f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valid"]))
+            for key in ("pearsonr_valids", "r2_valids", "pearsonr_trains", "r2_trains"):
+                f.create_dataset(key, data=np.asarray(metrics[key]))
+            # engine extras beyond the reference key set
+            f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valids"]))
             f.create_dataset("spearman_valid", data=np.asarray(metrics["spearman_valid"]))
             f.create_dataset("tissue", data=np.array(metrics["tissue"], dtype="S"))
     return results

@@ -42,6 +42,48 @@ def plot_preds(ytrue, ypred, out_path, *, xlabel="Labels (log RPM)", ylabel="Pre
     return {"pearsonr": float(pr), "r2": float(r2), "spearmanr": float(sr)}
 
 
+def plot_scatter_hist(x, y, out_path, *, xlabel, ylabel, highlight_last=True):
+    """Train-vs-valid metric scatter with marginal histograms
+    (plot_susztak.py:20-62). The reference highlights the last point in
+    orange ("averaged expression" — its expression table's final column is
+    the cross-tissue average); ``highlight_last`` keeps that convention."""
+    plt = _plt()
+    x = np.asarray(x, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    xymax = max(np.max(x), np.max(y))
+    xymin = min(np.min(x), np.min(y))
+    max_lim, min_lim = xymax + 0.002, xymin - 0.002
+
+    left, width = 0.12, 0.65
+    bottom, height = 0.1, 0.65
+    spacing = 0.005
+    fig = plt.figure(figsize=(6, 6))
+    ax = fig.add_axes([left, bottom, width, height])
+    ax_histx = fig.add_axes([left, bottom + height + spacing, width, 0.2], sharex=ax)
+    ax_histy = fig.add_axes([left + width + spacing, bottom, 0.2, height], sharey=ax)
+    ax_histx.tick_params(axis="x", labelbottom=False)
+    ax_histy.tick_params(axis="y", labelleft=False)
+
+    if highlight_last and len(x) > 1:
+        ax.scatter(x[:-1], y[:-1], c="black", s=30)
+        ax.scatter(x[-1:], y[-1:], c="orange", s=30, label="averaged expression")
+        ax.legend()
+    else:
+        ax.scatter(x, y, c="black", s=30)
+    ax.set_xlim(min_lim, max_lim)
+    ax.set_ylim(min_lim, max_lim)
+    ax.set_xlabel(xlabel)
+    ax.set_ylabel(ylabel)
+
+    binwidth = (xymax - xymin) / 15
+    if binwidth > 0:
+        bins = np.arange(xymin, xymax, binwidth)
+        ax_histx.hist(x, bins=bins, alpha=0.8)
+        ax_histy.hist(y, bins=bins, orientation="horizontal", alpha=0.8)
+    fig.savefig(out_path, dpi=300)
+    plt.close(fig)
+
+
 def plot_metric_hist(values, out_path, *, bins=30, xlabel="metric", title=None):
     """Histogram of per-tissue metrics (plot_susztak.py style)."""
     plt = _plt()

@@ -426,6 +426,10 @@ def test_train_cli_all_tissues(tmp_path):
     with h5py.File(tmp_path / "tissues" / "metrics.h5") as f:
         assert f["pearsonr_valid"].shape == (2,)
         assert list(f["tissue"][:]) == [b"tA", b"tB"]
+        # vectorized sweep also writes the reference key set with train-side
+        # metrics (train_susztak.py:177-181)
+        for key in ("pearsonr_valids", "r2_valids", "pearsonr_trains", "r2_trains"):
+            assert f[key].shape == (2,)
 
 
 def test_train_cli_missing_target(tmp_path):

@@ -367,7 +367,21 @@ class TestTraining:
         res = train_all_tissues(X, geneanno, expr_df, params=hp, metrics_path=tmp_path / "metrics.h5")
         assert set(res) == {"t1", "t2"}
         with h5py.File(tmp_path / "metrics.h5", "r") as f:
+            # reference key set (train_susztak.py:177-181) must round-trip
+            for key in ("pearsonr_valids", "r2_valids", "pearsonr_trains", "r2_trains"):
+                assert f[key].shape == (2,)
+                assert np.isfinite(f[key][:]).all()
             assert f["spearman_valid"].shape == (2,)
+            # train-side fit should beat the holdout on random labels
+            assert (f["pearsonr_trains"][:] >= f["pearsonr_valids"][:] - 0.05).all()
+
+        # plot_susztak parity: the analysis CLI consumes exactly these keys
+        from expecto_tpu.cli.analysis import main as analysis_main
+
+        rc = analysis_main(["plot-metrics", str(tmp_path / "metrics.h5"), "-o", str(tmp_path / "plots")])
+        assert rc == 0
+        assert (tmp_path / "plots" / "pearsonr.png").exists()
+        assert (tmp_path / "plots" / "r2.png").exists()
 
 
 class TestClusterScoring:
