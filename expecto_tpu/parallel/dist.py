@@ -19,6 +19,33 @@ import h5py
 import numpy as np
 
 
+def process_info() -> tuple[int, int]:
+    """(process_index, process_count) of this host in the jax runtime —
+    (0, 1) in single-process runs."""
+    import jax
+
+    return jax.process_index(), jax.process_count()
+
+
+def is_primary() -> bool:
+    """True on the host that owns single-writer outputs (merged files,
+    diagnostics prints) — process 0, or any host in a single-process run."""
+    import jax
+
+    return jax.process_index() == 0
+
+
+def barrier(name: str) -> None:
+    """Block until every host reaches this point (no-op single-process).
+    Used before a primary-host merge so all shard files exist."""
+    import jax
+
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
 def host_row_range(n_rows: int, process_index: int | None = None, process_count: int | None = None) -> tuple[int, int]:
     """Contiguous [start, stop) row range owned by this host. Deterministic:
     the first ``n % w`` hosts take one extra row."""
@@ -77,9 +104,15 @@ def list_shards(path: str) -> list[str]:
     return [by_index[i] for i in range(expected)]
 
 
-def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool = False) -> str:
+def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool = False, fold_axis0: int = 1) -> str:
     """Concatenate shard h5 files (row axis 0 of every dataset) in shard
-    order into the logical file. Bit-identical to the single-host write."""
+    order into the logical file. Bit-identical to the single-host write.
+
+    ``fold_axis0``: number of equal row segments each shard's datasets carry.
+    The per-shift chromatin h5s stack forward rows then reverse-complement
+    rows ([fwd; rc], io/h5.py) — with ``fold_axis0=2`` the merged file is
+    [fwd_shard0..fwd_shardK; rc_shard0..rc_shardK], matching the single-host
+    layout instead of interleaving the halves per shard."""
     shards = list_shards(path)
     if not shards:
         raise FileNotFoundError(path)
@@ -90,10 +123,15 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
     # shard, not 2x the merged file (shift h5s run to multiple GB)
     shapes: dict[str, tuple] = {}
     dtypes: dict[str, np.dtype] = {}
+    shard_rows: dict[str, list[int]] = {}
     for s in shards:
         with h5py.File(s, "r") as f:
             for name in f:
                 shape, dtype = f[name].shape, f[name].dtype
+                if shape[0] % fold_axis0:
+                    raise AssertionError(
+                        f"shard dataset {name} in {s} has {shape[0]} rows, not divisible by fold {fold_axis0}"
+                    )
                 if name in shapes:
                     if shapes[name][1:] != shape[1:]:
                         raise AssertionError(f"shard dataset {name} trailing shape mismatch")
@@ -106,15 +144,67 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
                     shapes[name] = (shapes[name][0] + shape[0],) + shape[1:]
                 else:
                     shapes[name], dtypes[name] = shape, dtype
+                shard_rows.setdefault(name, []).append(shape[0])
+    for name, rows in shard_rows.items():
+        if len(rows) != len(shards):
+            raise AssertionError(f"dataset {name} missing from some shards of {path}")
     with h5py.File(out_path, "w") as out:
         dsets = {name: out.create_dataset(name, shape=shapes[name], dtype=dtypes[name]) for name in shapes}
-        offsets = {name: 0 for name in shapes}
+        # segment k of the merged file starts where all shards' first k
+        # segments end; within it shards contribute in shard order
+        seg_total = {name: shapes[name][0] // fold_axis0 for name in shapes}
+        seg_done = {name: 0 for name in shapes}  # rows of earlier shards, per segment
         for s in shards:
             with h5py.File(s, "r") as f:
                 for name in f:
                     n = f[name].shape[0]
-                    dsets[name][offsets[name] : offsets[name] + n] = f[name][...]
-                    offsets[name] += n
+                    seg = n // fold_axis0
+                    for k in range(fold_axis0):
+                        o = k * seg_total[name] + seg_done[name]
+                        dsets[name][o : o + seg] = f[name][k * seg : (k + 1) * seg]
+                    seg_done[name] += seg
+    if delete_shards:
+        for s in shards:
+            os.remove(s)
+    return out_path
+
+
+def merge_sharded_npy(path: str, out_path: str | None = None, delete_shards: bool = False) -> str:
+    """Concatenate shard ``.npy`` files (axis 0) in shard order into the
+    logical file (the gene-feature matrix path)."""
+    shards = list_shards(path)
+    if not shards:
+        raise FileNotFoundError(path)
+    out_path = out_path or path
+    if shards == [path]:
+        return path
+    merged = np.concatenate([np.load(s) for s in shards], axis=0)
+    np.save(out_path, merged)
+    if delete_shards:
+        for s in shards:
+            os.remove(s)
+    return out_path
+
+
+def merge_sharded_csv(path: str, out_path: str | None = None, delete_shards: bool = False, header: bool = True) -> str:
+    """Concatenate shard CSV/TSV files in shard order, keeping the first
+    shard's header line only (the ref_preds.csv / sed.tsv paths)."""
+    shards = list_shards(path)
+    if not shards:
+        raise FileNotFoundError(path)
+    out_path = out_path or path
+    if shards == [path]:
+        return path
+    chunks: list[str] = []
+    for i, s in enumerate(shards):
+        with open(s) as f:
+            text = f.read()
+        if header and i > 0:
+            text = text.split("\n", 1)[1] if "\n" in text else ""
+        chunks.append(text)
+    with open(out_path + ".tmp", "w") as f:
+        f.write("".join(chunks))
+    os.replace(out_path + ".tmp", out_path)
     if delete_shards:
         for s in shards:
             os.remove(s)

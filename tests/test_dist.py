@@ -9,6 +9,8 @@ from expecto_tpu.parallel.dist import (
     shard_path,
     list_shards,
     merge_sharded_h5,
+    merge_sharded_npy,
+    merge_sharded_csv,
     assemble_rows,
 )
 
@@ -67,6 +69,40 @@ class TestShardedH5:
         with pytest.raises(AssertionError, match="mixed shard sets"):
             list_shards(path)
 
+    def test_fold_merge_matches_single_host_layout(self, tmp_path):
+        """The shift h5s stack [fwd; rc]; a fold=2 merge must reassemble
+        [fwd_all; rc_all], not interleave per-shard halves."""
+        n, w = 11, 3
+        fwd = np.arange(n * 2, dtype=np.float32).reshape(n, 2)
+        rc = -fwd
+        single = np.concatenate([fwd, rc], axis=0)  # the 1-host layout
+        path = str(tmp_path / "shift.h5")
+        for r in range(w):
+            a, b = host_row_range(n, r, w)
+            with h5py.File(shard_path(path, r, w), "w") as f:
+                f.create_dataset("diff", data=np.concatenate([fwd[a:b], rc[a:b]], axis=0))
+        merge_sharded_h5(path, fold_axis0=2, delete_shards=True)
+        with h5py.File(path) as f:
+            np.testing.assert_array_equal(f["diff"], single)
+
+    def test_fold_merge_rejects_odd_rows(self, tmp_path):
+        path = str(tmp_path / "odd.h5")
+        for r in range(2):
+            with h5py.File(shard_path(path, r, 2), "w") as f:
+                f.create_dataset("d", data=np.zeros((3, 2)))
+        with pytest.raises(AssertionError, match="not divisible by fold"):
+            merge_sharded_h5(path, fold_axis0=2)
+
+    def test_missing_dataset_in_one_shard_rejected(self, tmp_path):
+        path = str(tmp_path / "md.h5")
+        with h5py.File(shard_path(path, 0, 2), "w") as f:
+            f.create_dataset("a", data=np.zeros((2, 2)))
+            f.create_dataset("b", data=np.zeros((2, 2)))
+        with h5py.File(shard_path(path, 1, 2), "w") as f:
+            f.create_dataset("a", data=np.zeros((2, 2)))
+        with pytest.raises(AssertionError, match="missing from some shards"):
+            merge_sharded_h5(path)
+
     def test_dtype_mismatch_rejected(self, tmp_path):
         """One fp32 shard merged into fp16 shards would be silently cast by
         h5py on write — must raise instead."""
@@ -76,6 +112,30 @@ class TestShardedH5:
                 f.create_dataset("d", data=np.zeros((2, 3), dt))
         with pytest.raises(AssertionError, match="dtype mismatch"):
             merge_sharded_h5(path)
+
+
+def test_merge_sharded_npy(tmp_path):
+    n, w = 10, 4
+    full = np.random.default_rng(0).normal(size=(n, 3)).astype(np.float32)
+    path = str(tmp_path / "feats.npy")
+    for r in range(w):
+        a, b = host_row_range(n, r, w)
+        np.save(shard_path(path, r, w), full[a:b])
+    merge_sharded_npy(path, delete_shards=True)
+    np.testing.assert_array_equal(np.load(path), full)
+    assert list_shards(path) == [path]
+
+
+def test_merge_sharded_csv(tmp_path):
+    path = str(tmp_path / "preds.csv")
+    rows = [f"g{i},{i * 1.5}\n" for i in range(7)]
+    for r in range(3):
+        a, b = host_row_range(7, r, 3)
+        with open(shard_path(path, r, 3), "w") as f:
+            f.write("gene,pred\n" + "".join(rows[a:b]))
+    merge_sharded_csv(path, delete_shards=True)
+    with open(path) as f:
+        assert f.read() == "gene,pred\n" + "".join(rows)
 
 
 def test_assemble_rows():
