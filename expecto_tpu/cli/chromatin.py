@@ -41,8 +41,14 @@ def main(argv=None) -> int:
     from ..genome.fasta import FastaIndex
     from ..genome.vcf import read_vcf, standardize_chroms, write_vcf_hg19
     from ..models.convert import load_params_npz
+    from ..parallel import dist
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..parallel.runner import BelugaRunner
     from ..pipeline.chromatin import compute_variant_chromatin_effects
+
+    # multi-host: must run before the first backend use (BelugaRunner init);
+    # a no-op unless launched under a coordinator (JAX_COORDINATOR_ADDRESS)
+    maybe_initialize_distributed()
 
     genome = FastaIndex(args.genome)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -57,7 +63,8 @@ def main(argv=None) -> int:
         print("Lifting over to hg19...")
         lifted, failed = liftover_vcf(vcf, ChainLiftover(args.chain_file))
         print(f"Failed to lift {int(failed.sum())} variants from hg38 to hg19")
-        vcf[failed].to_csv(f"{args.output_dir}/not_lifted.vcf", sep="\t", header=False, index=False)
+        if dist.is_primary():  # every host holds the full table; one writer
+            vcf[failed].to_csv(f"{args.output_dir}/not_lifted.vcf", sep="\t", header=False, index=False)
         vcf = lifted[~failed]
 
     # standardize BEFORE writing snps_hg19.vcf: the emitted file is the
@@ -70,12 +77,14 @@ def main(argv=None) -> int:
     if std.shape[0] != n_before:
         # rows on non-canonical contigs leave the pipeline here — quarantine
         # them like liftover failures so input/output row counts reconcile
-        dropped = vcf[~vcf.index.isin(std.index)]
-        dropped.to_csv(f"{args.output_dir}/dropped_contigs.vcf", sep="\t", header=False, index=False)
-        print(f"Dropped {n_before - std.shape[0]} variants on non-canonical contigs "
-              f"(written to {args.output_dir}/dropped_contigs.vcf)")
+        if dist.is_primary():
+            dropped = vcf[~vcf.index.isin(std.index)]
+            dropped.to_csv(f"{args.output_dir}/dropped_contigs.vcf", sep="\t", header=False, index=False)
+            print(f"Dropped {n_before - std.shape[0]} variants on non-canonical contigs "
+                  f"(written to {args.output_dir}/dropped_contigs.vcf)")
     vcf = std
-    write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
+    if dist.is_primary():
+        write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
 
     params = load_params_npz(args.beluga_weights)
     runner = BelugaRunner(

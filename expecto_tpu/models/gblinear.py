@@ -354,3 +354,141 @@ def make_sharded_round_fn(hp: GBLinearParams, axis_name: str = "data"):
         )
 
     return round_fn
+
+
+def train_gblinear_multi_sharded(
+    X_local,
+    Y_local,
+    params: GBLinearParams | None = None,
+    *,
+    row_weights_local: np.ndarray | None = None,
+    verbose: bool = False,
+) -> MultiTrainResult:
+    """Row-sharded K-model training over the GLOBAL device mesh — the
+    multi-host production trainer (replaces the reference's per-node shell
+    loops, scripts/train_bootstrap.sh:4-7 + train_susztak.py's per-column
+    loop run per node).
+
+    Every process passes only ITS contiguous row shard (``host_row_range``
+    order: process 0 owns the first rows). Rows are padded per-device with
+    zero feature rows AND zero row weights, so padding contributes exactly 0
+    to every gradient/hessian sum — bias and weight updates match the
+    unsharded trainer up to reduction order (all sums become ``psum``
+    collectives over the data axis, riding ICI on a real slice).
+
+    Single-process this still shards rows over the local devices, so the
+    same code path is exercised by the CPU mesh tests and the multichip
+    dryrun.
+    """
+    import jax.experimental.shard_map as _shard_map
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    hp = params or GBLinearParams()
+    X_local = np.asarray(X_local, dtype=np.float32)
+    Y_local = np.asarray(Y_local, dtype=np.float32)
+    if Y_local.ndim == 1:
+        Y_local = Y_local[:, None]
+    n_local, f = X_local.shape
+    k = Y_local.shape[1]
+    if row_weights_local is None:
+        row_weights_local = np.ones((n_local, k), np.float32)
+    row_weights_local = np.asarray(row_weights_local, dtype=np.float32)
+
+    devs = np.array(jax.devices())
+    # the global row order is process-major: jax.devices() must group each
+    # process's devices contiguously and in rank order for host_row_range
+    # shards to land in their global positions
+    proc_of = np.array([d.process_index for d in devs.tolist()])
+    if not (np.diff(proc_of) >= 0).all():
+        order = np.argsort(proc_of, kind="stable")
+        devs = devs[order]
+    mesh = Mesh(devs, ("data",))
+    l_local = jax.local_device_count()
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        n_global = int(np.sum(multihost_utils.process_allgather(np.array([n_local], np.int64))))
+    else:
+        n_global = n_local
+    # uniform per-device row count: every device pads to d rows so the global
+    # array has static shape L*d regardless of the ±1 row range imbalance
+    d_rows = max(-(-n_global // len(devs)), 1)
+    pad_to = l_local * d_rows
+
+    def _pad_rows(a, width):
+        if a.shape[0] == width:
+            return a
+        pad = [(0, width - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
+        return np.pad(a, pad)
+
+    Xp = _pad_rows(X_local, pad_to)
+    Yp = _pad_rows(Y_local, pad_to)
+    wp = _pad_rows(row_weights_local, pad_to)
+
+    Xt_blocks, _ = _pad_blocks(np.ascontiguousarray(Xp.T), hp.block_size)  # (nb, B, pad_to)
+    nb, B, _ = Xt_blocks.shape
+    N = len(devs) * d_rows
+
+    row_shard = NamedSharding(mesh, P("data"))
+    row2_shard = NamedSharding(mesh, P("data", None))
+    col_shard = NamedSharding(mesh, P(None, None, "data"))
+    repl = NamedSharding(mesh, P())
+
+    def _global(local_np, sharding, global_shape):
+        if jax.process_count() == 1:
+            return jax.device_put(local_np, sharding)
+        return jax.make_array_from_process_local_data(sharding, local_np, global_shape)
+
+    Xt_g = _global(Xt_blocks, col_shard, (nb, B, N))
+    rw_g = _global(wp, row2_shard, (N, k))
+    r_g = _global(np.full((pad_to, k), hp.base_score, np.float32) - Yp, row2_shard, (N, k))
+
+    prec = jax.lax.Precision(hp.precision)
+    # global hessians: the contraction over the row-sharded axis makes XLA
+    # insert the psum; output replicated so every round reads it locally
+    hess_g = jax.jit(
+        lambda Xt, w: jax.lax.map(lambda Xb: jnp.dot(Xb * Xb, w, precision=prec), Xt),
+        out_shardings=repl,
+    )(Xt_g, rw_g)
+    n_eff = jax.jit(lambda w: jnp.sum(w, axis=0), out_shardings=repl)(rw_g)
+
+    round_fn = _multi_round_body(hp, axis_name="data")
+    sharded_round = jax.jit(
+        _shard_map.shard_map(
+            round_fn,
+            mesh=mesh,
+            in_specs=(P(), P(), P("data", None), P("data", None), P(), P(None, None, "data"), P()),
+            out_specs=(P(), P(), P("data", None)),
+        ),
+        donate_argnums=(0, 2),
+    )
+
+    w_blocks = jax.device_put(np.zeros((nb, B, k), np.float32), repl)
+    bias = jax.device_put(np.zeros((k,), np.float32), repl)
+    for it in range(hp.num_round):
+        w_blocks, bias, r_g = sharded_round(w_blocks, bias, r_g, rw_g, n_eff, Xt_g, hess_g)
+        if verbose and it % 10 == 0:
+            print(f"[{it}] sharded round done")
+
+    weights = np.asarray(jax.device_get(w_blocks)).reshape(-1, k)[:f]
+    return MultiTrainResult(weights=weights, biases=np.asarray(jax.device_get(bias)), base_score=hp.base_score)
+
+
+def train_gblinear_sharded(
+    X_local,
+    y_local,
+    params: GBLinearParams | None = None,
+    *,
+    verbose: bool = False,
+) -> GBLinearModel:
+    """Single-model row-sharded trainer (K=1 view of
+    :func:`train_gblinear_multi_sharded`); runs all ``num_round`` rounds (the
+    reference's effective behavior — it passes early_stopping_rounds where
+    xgboost ignores it, train.py:140-146)."""
+    hp = params or GBLinearParams()
+    multi = train_gblinear_multi_sharded(X_local, np.asarray(y_local, np.float32)[:, None], hp, verbose=verbose)
+    return GBLinearModel(
+        weight=multi.weights[:, 0].astype(np.float32),
+        bias=float(multi.biases[0]),
+        base_score=hp.base_score,
+    )

@@ -69,7 +69,16 @@ def maybe_initialize_distributed() -> None:
     Decides from the environment alone: calling jax.process_count() (or any
     backend query) first would initialize the local backend and make
     jax.distributed.initialize() raise — it must run before first backend
-    use."""
+    use.
+
+    Launch contract (replacing the reference's ssh/shell fan-out,
+    scripts/sed_immune_atlas/chromatin_immune_atlas.sh:8-13): every process
+    gets ``JAX_COORDINATOR_ADDRESS``; on managed clusters (GKE/SLURM) that is
+    enough and jax auto-detects the rest, while hand-launched runs (and the
+    2-process CPU tests) also set ``JAX_NUM_PROCESSES`` + ``JAX_PROCESS_ID``.
+    On the CPU backend cross-process collectives need the gloo implementation
+    — selected here before backend init (the default 'none' silently yields
+    per-process single-host worlds)."""
     import os
 
     try:
@@ -78,5 +87,16 @@ def maybe_initialize_distributed() -> None:
         initialized = jax._src.distributed.global_state.client is not None
     if initialized:
         return
-    if "JAX_COORDINATOR_ADDRESS" in os.environ or "COORDINATOR_ADDRESS" in os.environ:
+    addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
+    if not addr:
+        return
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    nproc = os.environ.get("JAX_NUM_PROCESSES")
+    pid = os.environ.get("JAX_PROCESS_ID")
+    if nproc is not None and pid is not None:
+        jax.distributed.initialize(
+            coordinator_address=addr, num_processes=int(nproc), process_id=int(pid)
+        )
+    else:
         jax.distributed.initialize()

@@ -179,6 +179,7 @@ def compute_variant_chromatin_effects(
     use_spans: str = "auto",
     verbose: bool = True,
     legacy_h5: bool = False,
+    distribute: bool = True,
 ) -> ChromatinResult:
     """Run the full per-shift chromatin-effect computation.
 
@@ -194,6 +195,13 @@ def compute_variant_chromatin_effects(
             or 'never'.
         legacy_h5: additionally write the original-ExPecto single-``pred``
             schema as ``{prefix}.shift_{s}.legacy.diff.h5``.
+        distribute: in a multi-process (``jax.distributed``) run, each host
+            computes a contiguous variant row range, writes shard h5s, and
+            process 0 merges them after a barrier — bit-identical to the
+            single-host files. Replaces the reference's per-node chunk flags
+            + shell-loop merge (chromatin.py:30-31, merge_predict_batched.py).
+            Requires ``output_dir``; ``keep_arrays`` stays host-local (each
+            process keeps only its own rows — see docs/ARCHITECTURE.md).
     """
     shifts = variant_shifts(maxshift)
     n = vcf.shape[0]
@@ -205,12 +213,35 @@ def compute_variant_chromatin_effects(
     if output_dir is not None:
         os.makedirs(output_dir, exist_ok=True)
 
-    ref_matched, alt_matched = _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose)
+    from ..parallel import dist
+
+    rank, world = dist.process_info()
+    distributed = distribute and world > 1 and output_dir is not None
+    if distributed:
+        lo, hi = dist.host_row_range(n)
+    else:
+        lo, hi = 0, n
+
+    # diagnostics always scan the FULL table (a cheap vectorized host gather)
+    # so every process returns the same counts; only the primary prints
+    ref_matched, alt_matched = _diagnostics(
+        genome, chroms, positions, refs, alts, inputsize, verbose and (not distributed or dist.is_primary())
+    )
     result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=ref_matched, alt_matched=alt_matched)
+    if distributed:
+        chroms, positions, refs, alts = chroms[lo:hi], positions[lo:hi], refs[lo:hi], alts[lo:hi]
+        n = hi - lo
 
     is_sub = np.array([len(r) == len(a) for r, a in zip(refs, alts)], dtype=bool)
     all_substitutions = bool(is_sub.all())
     span_capable = hasattr(runner, "predict_span_codes")
+    if n == 0:
+        # a host can own zero rows when hosts outnumber variants; its shards
+        # must still exist with every dataset for the merge to reassemble
+        from ..models.beluga import BELUGA_N_TRACKS
+
+        empty = np.zeros((0, BELUGA_N_TRACKS), np.float32)
+        per_shift = {shift: (empty, empty) for shift in shifts}
     if use_spans == "always":
         if not all_substitutions:
             raise ValueError(
@@ -219,7 +250,9 @@ def compute_variant_chromatin_effects(
             )
         if not span_capable:
             raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")
-    if use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
+    if n == 0:
+        pass  # empty per_shift built above
+    elif use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
         per_shift = _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize)
     elif use_spans == "auto" and span_capable and is_sub.any():
         # mixed VCF: substitutions keep the span fast path, indels take the
@@ -247,19 +280,29 @@ def compute_variant_chromatin_effects(
         per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
 
     arrays: dict = {}
+    h5_paths: list[str] = []
     for shift in shifts:
         ref_rows, alt_rows = per_shift[shift]
         diff = alt_rows - ref_rows
         if output_dir is not None:
-            write_shift_h5(
-                os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5"), diff, ref_rows, alt_rows
-            )
+            path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
+            h5_paths.append(path)
+            write_shift_h5(dist.shard_path(path) if distributed else path, diff, ref_rows, alt_rows)
             if legacy_h5:
-                write_legacy_shift_h5(
-                    os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5"), diff
-                )
+                lpath = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5")
+                h5_paths.append(lpath)
+                write_legacy_shift_h5(dist.shard_path(lpath) if distributed else lpath, diff)
         if keep_arrays:
             arrays[shift] = (diff, ref_rows, alt_rows)
+    if distributed:
+        # all shards on a shared filesystem before the primary reassembles;
+        # fold=2 keeps the single-host [fwd_all; rc_all] row layout. The
+        # closing barrier lets every host read the merged files safely.
+        dist.barrier("chromatin.shards_written")
+        if dist.is_primary():
+            for path in h5_paths:
+                dist.merge_sharded_h5(path, fold_axis0=2, delete_shards=True)
+        dist.barrier("chromatin.merged")
     if keep_arrays:
         result.arrays = arrays
     return result

@@ -1,0 +1,79 @@
+"""Spawned worker for the 2-process ``jax.distributed`` tests.
+
+Launched by test_dist_e2e.py as ``python dist_worker.py <mode> <json>`` with
+``JAX_COORDINATOR_ADDRESS`` / ``JAX_NUM_PROCESSES`` / ``JAX_PROCESS_ID`` in
+the environment (absent for the single-process baselines). The process group
+is real: gloo CPU collectives, cross-process psum/allgather — the same
+runtime path a TPU pod slice uses, minus the hardware.
+"""
+
+import json
+import os
+import sys
+
+
+def main() -> int:
+    mode = sys.argv[1]
+    cfg = json.loads(sys.argv[2])
+
+    # must precede first jax backend use (selects gloo + joins the group)
+    from expecto_tpu.parallel.mesh import maybe_initialize_distributed
+
+    maybe_initialize_distributed()
+
+    import numpy as np
+
+    if mode == "chromatin":
+        from expecto_tpu.cli.chromatin import main as chromatin_main
+
+        return chromatin_main([
+            cfg["vcf"],
+            "--genome", cfg["genome"],
+            "--beluga_weights", cfg["weights"],
+            "--output_dir", cfg["out_dir"],
+            "--maxshift", str(cfg["maxshift"]),
+            "--batchsize", str(cfg["batchsize"]),
+        ])
+
+    if mode == "train":
+        # real-shape distributed gblinear: every process regenerates the
+        # deterministic dataset and trains on its host_row_range shard
+        from expecto_tpu.models.gblinear import (
+            GBLinearParams,
+            train_gblinear,
+            train_gblinear_sharded,
+        )
+        from expecto_tpu.parallel.dist import host_row_range, is_primary
+
+        n, f = int(cfg["n"]), int(cfg["f"])
+        rng = np.random.default_rng(int(cfg["seed"]))
+        X = rng.normal(size=(n, f)).astype(np.float32)
+        w_true = (np.sin(np.arange(f) / 7.0) * 0.05).astype(np.float32)
+        y = (X @ w_true + 2.0).astype(np.float32)
+        hp = GBLinearParams(num_round=int(cfg["num_round"]), block_size=int(cfg["block_size"]))
+        if cfg.get("baseline"):
+            model = train_gblinear(X, y, hp)
+        else:
+            lo, hi = host_row_range(n)
+            model = train_gblinear_sharded(X[lo:hi], y[lo:hi], hp)
+        if is_primary():
+            np.savez(cfg["out"], weight=model.weight, bias=np.float64(model.bias))
+        return 0
+
+    if mode == "features":
+        from expecto_tpu.cli.compute_features import main as features_main
+
+        return features_main([
+            cfg["annoFile"],
+            "--genome", cfg["genome"],
+            "--beluga_weights", cfg["weights"],
+            "--batchsize", str(cfg["batchsize"]),
+            "-o", cfg["out_dir"],
+        ])
+
+    print(f"unknown worker mode {mode!r}", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    sys.exit(main())
