@@ -39,12 +39,17 @@ def main(argv=None) -> int:
 
     from ..genome.fasta import FastaIndex
     from ..models.convert import load_params_npz
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..parallel.runner import BelugaRunner
     from ..pipeline.features import (
         compute_gene_features,
         replicate_gene_features,
         records_from_geneanno,
     )
+
+    # multi-host: join the process group before the first backend use; each
+    # host then computes its host_row_range gene slice (pipeline/features.py)
+    maybe_initialize_distributed()
 
     args = build_parser().parse_args(argv)
     os.makedirs(args.out_dir, exist_ok=True)

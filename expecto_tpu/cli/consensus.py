@@ -56,10 +56,15 @@ def main(argv=None) -> int:
     import jax.numpy as jnp
 
     from ..models.convert import load_params_npz
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..parallel.runner import BelugaRunner
     from ..pipeline import consensus as c
 
     import numpy as np
+
+    # multi-host: join the process group before first backend use; the
+    # samples/ref paths then shard their gene lists per host
+    maybe_initialize_distributed()
 
     fp16 = getattr(args, "fp16_chromatin", False)
     runner = BelugaRunner(

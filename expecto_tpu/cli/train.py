@@ -58,8 +58,14 @@ def main(argv=None) -> int:
 
     from ..io.tables import load_beluga_features
     from ..models.gblinear import GBLinearParams
+    from ..parallel import dist
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..pipeline.train import train_all_tissues, train_bootstrap, train_expression_model
     from ..utils.keep_mask import get_keep_mask
+
+    # multi-host: join the process group before first backend use; training
+    # rows then shard across hosts (psum-reduced gradient sums)
+    maybe_initialize_distributed()
 
     args = build_parser().parse_args(argv)
     if args.targetIndex is None and not args.allTissues:
@@ -155,9 +161,9 @@ def main(argv=None) -> int:
         seed_resample=args.seed, extra_filter=extra_filter, verbose=True,
     )
     print(f"spearman (chr8 holdout): {res.spearman:.4f}")
-    if args.evalFile:
+    if args.evalFile and dist.is_primary():
         pd.DataFrame({"pred": res.test_pred, "target": res.test_true}).to_csv(args.evalFile)
-    if res.train_pred is not None:
+    if res.train_pred is not None and dist.is_primary():
         from ..utils.plotting import plot_preds
 
         plot_preds(res.test_true, res.test_pred, os.path.join(args.output_dir, "test_plots.png"))

@@ -352,6 +352,7 @@ def predict_consensus_genes(
     shifts=None,
     progress: bool = False,
     chromatin_dtype=np.float32,
+    distribute: bool = True,
 ) -> list[str]:
     """C18: per-gene, per-individual consensus expression prediction with
     resume-skip / --exp_only / gene-chunk semantics
@@ -359,7 +360,12 @@ def predict_consensus_genes(
 
     ``chromatin_dtype=np.float16`` fetches and stores chromatin_preds in
     half precision — the format compress_consensus.py produces anyway —
-    halving the dominant device->host and disk traffic."""
+    halving the dominant device->host and disk traffic.
+
+    Multi-process runs shard the gene list per host automatically when no
+    explicit ``num_chunks``/``chunk_i`` is given (outputs are per-gene
+    directories, so no merge step is needed); explicit chunk flags keep the
+    reference's file-level semantics."""
     os.makedirs(out_dir, exist_ok=True)
     bst = load_expression_model(expecto_model_path.strip())
 
@@ -375,6 +381,13 @@ def predict_consensus_genes(
         genes = list(np.array_split(np.array(genes, dtype=object), num_chunks)[chunk_i])
         if not genes:
             raise AssertionError("Gene split resulted in empty list")
+    elif distribute:
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            lo, hi = dist.host_row_range(len(genes))
+            genes = genes[lo:hi]
 
     done = []
     iterator = genes
@@ -515,6 +528,7 @@ def predict_ref_all_genes(
     shifts=None,
     progress: bool = False,
     genes_per_call: int = 32,
+    distribute: bool = True,
 ) -> pd.DataFrame:
     """C19: reference-haplotype predictions for all genes -> ref_preds.csv
     (geuvadis_predict_ref_all_genes.py:23-106).
@@ -522,7 +536,11 @@ def predict_ref_all_genes(
     Genes are batched ``genes_per_call`` at a time through one runner call:
     the per-gene compute is only a few ms, so per-gene dispatch would be
     dominated by the fixed host<->device round-trip on relay-attached chips
-    (24,338 single-record calls on the full gene set)."""
+    (24,338 single-record calls on the full gene set).
+
+    Multi-process runs shard genes per host, write ``ref_preds.csv`` shards,
+    and the primary concatenates them (identical row order to one host);
+    every host returns the merged DataFrame."""
     os.makedirs(out_dir, exist_ok=True)
     bst = load_expression_model(expecto_model_path.strip())
 
@@ -531,8 +549,17 @@ def predict_ref_all_genes(
     genes_df = genes_df.set_index("gene_symbol")
 
     gene_rows = list(zip(genes_df.index, genes_df["strand"]))
+
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    distributed = distribute and world > 1
+    if distributed:
+        lo, hi = dist.host_row_range(len(gene_rows))
+        gene_rows = gene_rows[lo:hi]
+
     groups = [gene_rows[i : i + genes_per_call] for i in range(0, len(gene_rows), genes_per_call)]
-    if progress:
+    if progress and (not distributed or dist.is_primary()):
         from tqdm import tqdm
 
         groups = tqdm(groups)
@@ -548,9 +575,19 @@ def predict_ref_all_genes(
         feats = _match_features(_predict_consensus_features(runner, seqs, shifts), bst)
         ref_preds_out.extend(float(x) for x in bst.predict(feats))
 
-    df = pd.DataFrame({"genes": np.array(genes_df.index.values), "ref_preds": np.array(ref_preds_out)})
-    df.to_csv(f"{out_dir}/ref_preds.csv", header=True, index=False)
-    return df
+    csv_path = f"{out_dir}/ref_preds.csv"
+    df = pd.DataFrame(
+        {"genes": np.array([g for g, _ in gene_rows]), "ref_preds": np.array(ref_preds_out)}
+    )
+    if not distributed:
+        df.to_csv(csv_path, header=True, index=False)
+        return df
+    df.to_csv(dist.shard_path(csv_path), header=True, index=False)
+    dist.barrier("ref_all_genes.shards_written")
+    if dist.is_primary():
+        dist.merge_sharded_csv(csv_path, delete_shards=True)
+    dist.barrier("ref_all_genes.merged")
+    return pd.read_csv(csv_path)
 
 
 def sed_for_top_eqtls(

@@ -110,6 +110,7 @@ def compute_gene_features(
     out_path: str | os.PathLike | None = None,
     genes_per_chunk: int | None = None,
     progress: bool = False,
+    distribute: bool = True,
 ) -> np.ndarray:
     """(n_genes, 20020) decay-projected features
     (compute_expecto_features.py:103-128).
@@ -119,7 +120,33 @@ def compute_gene_features(
     (the only thing the window-offset signature depends on) and streamed
     through one pipelined runner call per group, so span transfers overlap
     with compute instead of draining per chunk.
+
+    In a multi-process run (``distribute=True`` and ``out_path`` set) each
+    host computes its ``host_row_range`` gene slice, writes a shard ``.npy``,
+    and the primary reassembles the full matrix — replacing the reference's
+    per-node chunked reruns of compute_expecto_features.py. All hosts return
+    the merged (n_genes, 20020) matrix.
     """
+    if distribute and out_path is not None:
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            path = str(out_path)
+            if not path.endswith(".npy"):
+                path += ".npy"  # np.save appends it; shard naming must agree
+            lo, hi = dist.host_row_range(len(genes))
+            compute_gene_features(
+                genes[lo:hi], genome, runner, windowsize=windowsize,
+                out_path=dist.shard_path(path), genes_per_chunk=genes_per_chunk,
+                progress=progress and dist.is_primary(), distribute=False,
+            )
+            dist.barrier("features.shards_written")
+            if dist.is_primary():
+                dist.merge_sharded_npy(path, delete_shards=True)
+            dist.barrier("features.merged")
+            return np.load(path)
+
     shifts = gene_shifts()
     pos_weights = gene_pos_weights(shifts)  # (10, 200)
     n_shifts = len(shifts)
@@ -204,6 +231,7 @@ def compute_gene_features_atac(
     out_path: str | os.PathLike | None = None,
     shifts: list[int] | None = None,
     progress: bool = False,
+    distribute: bool = True,
 ) -> np.ndarray:
     """ATAC x predicted-ChIP intersect features (reference
     expecto_intersect_chip_atac.py:73-107): per gene, the fwd/RC-averaged
@@ -211,8 +239,29 @@ def compute_gene_features_atac(
     binary DeepSEA-style peak-bin mask before the decay projection.
 
     The mask is identical for forward and RC orientations, so masking the
-    on-device average equals the reference's mask-then-average.
+    on-device average equals the reference's mask-then-average. Multi-process
+    runs shard genes per host and merge like :func:`compute_gene_features`.
     """
+    if distribute and out_path is not None:
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            path = str(out_path)
+            if not path.endswith(".npy"):
+                path += ".npy"
+            lo, hi = dist.host_row_range(len(genes))
+            compute_gene_features_atac(
+                genes[lo:hi], genome, runner, peaks_by_chrom, chip_track_indices,
+                windowsize=windowsize, out_path=dist.shard_path(path), shifts=shifts,
+                progress=progress and dist.is_primary(), distribute=False,
+            )
+            dist.barrier("features_atac.shards_written")
+            if dist.is_primary():
+                dist.merge_sharded_npy(path, delete_shards=True)
+            dist.barrier("features_atac.merged")
+            return np.load(path)
+
     from ..analysis.atac import get_atac_peak_bins, apply_peak_mask
 
     shifts = gene_shifts() if shifts is None else shifts
@@ -247,10 +296,22 @@ def replicate_gene_features(
     *,
     windowsize: int = 2000,
     out_dir: str | os.PathLike | None = None,
+    distribute: bool = True,
 ) -> dict[str, np.ndarray]:
     """Raw per-gene (200, 2002) fwd/RC-averaged prediction matrices without
     projection (reference replicate_expecto_features.py:16-92), the input to
-    SVD/clustering."""
+    SVD/clustering.
+
+    The output is one ``.npy`` per gene, so multi-process runs need no merge:
+    each host takes its ``host_row_range`` gene slice and returns only its
+    own matrices (the files form the complete set)."""
+    if distribute and out_dir is not None:
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            lo, hi = dist.host_row_range(len(genes))
+            genes = genes[lo:hi]
     out: dict[str, np.ndarray] = {}
     if out_dir is not None:
         os.makedirs(out_dir, exist_ok=True)

@@ -30,6 +30,8 @@ from ..models.gblinear import (
     GBLinearParams,
     train_gblinear,
     train_gblinear_multi,
+    train_gblinear_multi_sharded,
+    train_gblinear_sharded,
     bootstrap_row_weights,
 )
 from ..io.xgb import save_expression_model, dump_text
@@ -83,6 +85,7 @@ def train_expression_model(
     seed_resample: int | None = None,
     holdout_train: tuple = ("chrX", "chrY", "chr8"),
     verbose: bool = False,
+    distribute: bool = True,
 ) -> TrainResult:
     """Train one tissue model (reference train.py main).
 
@@ -90,6 +93,14 @@ def train_expression_model(
     replacement (train_bootstrap.py:88-98). ``holdout_train`` is the
     chromosomes excluded from training (train.py:127-129; the susztak sweep
     additionally holds out chr7, train_susztak.py:117-122).
+
+    In a multi-process run each host trains on its ``host_row_range`` slice
+    of the training genes via the psum-reduced sharded trainer
+    (models/gblinear.py::train_gblinear_sharded); weights are replicated so
+    every host computes identical metrics, and only the primary writes the
+    ``.save``/``.dump`` files. Per-round eval history is not recorded in
+    that mode (the reference effectively never early-stops — its
+    early_stopping_rounds lands where xgboost ignores it, train.py:140-146).
     """
     hp = params or GBLinearParams()
     X = Xreducedall
@@ -113,15 +124,22 @@ def train_expression_model(
     X_tr, y_tr = X[tr_idx], labels[tr_idx].astype(np.float32)
     X_te, y_te = X[te], labels[te].astype(np.float32)
 
-    model = train_gblinear(
-        X_tr, y_tr, hp, evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose
-    )
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    if distribute and world > 1:
+        lo, hi = dist.host_row_range(len(tr_idx))
+        model = train_gblinear_sharded(X_tr[lo:hi], y_tr[lo:hi], hp, verbose=verbose)
+    else:
+        model = train_gblinear(
+            X_tr, y_tr, hp, evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose
+        )
     pred_te = model.predict(X_te)
     pred_tr = model.predict(X_tr)
     rho = float(spearmanr(pred_te, y_te).statistic) if len(y_te) > 1 else float("nan")
     rho_tr = float(spearmanr(pred_tr, y_tr).statistic) if len(y_tr) > 1 else float("nan")
 
-    if output_prefix is not None:
+    if output_prefix is not None and dist.is_primary():
         save_expression_model(model, str(output_prefix) + ".save")
         with open(str(output_prefix) + ".dump", "w") as f:
             f.write(dump_text(model))
@@ -189,7 +207,21 @@ def train_bootstrap(
     X_tr = X[tr]
     y_tr = labels[tr].astype(np.float32)
     row_w = bootstrap_row_weights(len(tr), seeds)
-    multi = train_gblinear_multi(X_tr, np.tile(y_tr[:, None], (1, len(seeds))), hp, row_weights=row_w, verbose=verbose)
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    if world > 1:
+        # rows shard across hosts; the (deterministic) resample weights are
+        # computed globally then sliced so every host agrees on the draw
+        lo, hi = dist.host_row_range(len(tr))
+        multi = train_gblinear_multi_sharded(
+            X_tr[lo:hi], np.tile(y_tr[lo:hi, None], (1, len(seeds))), hp,
+            row_weights_local=row_w[lo:hi], verbose=verbose,
+        )
+    else:
+        multi = train_gblinear_multi(
+            X_tr, np.tile(y_tr[:, None], (1, len(seeds))), hp, row_weights=row_w, verbose=verbose
+        )
 
     results = []
     X_te, y_te = X[te], labels[te].astype(np.float32)
@@ -197,7 +229,7 @@ def train_bootstrap(
         model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
         pred = model.predict(X_te)
         rho = float(spearmanr(pred, y_te).statistic) if len(y_te) > 1 else float("nan")
-        if output_dir is not None:
+        if output_dir is not None and dist.is_primary():
             os.makedirs(output_dir, exist_ok=True)
             save_expression_model(model, os.path.join(output_dir, f"bootstrap_seed{seed}.save"))
             save_expression_model(model, os.path.join(output_dir, f"bootstrap_seed{seed}.dump"))
@@ -291,7 +323,16 @@ def train_all_tissues(
         tr = trainind & filt
         te = testind & filt
         X_tr, Y_tr = Xreducedall[tr], Y[tr]
-        multi = train_gblinear_multi(X_tr, Y_tr.astype(np.float32), hp, verbose=verbose)
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            lo, hi = dist.host_row_range(X_tr.shape[0])
+            multi = train_gblinear_multi_sharded(
+                X_tr[lo:hi], Y_tr[lo:hi].astype(np.float32), hp, verbose=verbose
+            )
+        else:
+            multi = train_gblinear_multi(X_tr, Y_tr.astype(np.float32), hp, verbose=verbose)
         X_te, Y_te = Xreducedall[te], Y[te]
         for j, name in enumerate(names):
             model = GBLinearModel(weight=multi.weights[:, j], bias=float(multi.biases[j]), base_score=hp.base_score)
@@ -299,7 +340,7 @@ def train_all_tissues(
             pred_tr = model.predict(X_tr)
             rho = float(spearmanr(pred, Y_te[:, j]).statistic) if len(pred) > 1 else float("nan")
             rho_tr = float(spearmanr(pred_tr, Y_tr[:, j]).statistic) if len(pred_tr) > 1 else float("nan")
-            if output_dir is not None:
+            if output_dir is not None and dist.is_primary():
                 os.makedirs(output_dir, exist_ok=True)
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.save"))
                 save_expression_model(model, os.path.join(output_dir, f"expecto_{name}.dump"))
@@ -319,7 +360,9 @@ def train_all_tissues(
             )
             _record(name, res)
 
-    if metrics_path is not None:
+    from ..parallel import dist as _dist
+
+    if metrics_path is not None and _dist.is_primary():
         import h5py
 
         with h5py.File(metrics_path, "w") as f:

@@ -71,6 +71,18 @@ def main() -> int:
             "-o", cfg["out_dir"],
         ])
 
+    if mode == "train_cli":
+        from expecto_tpu.cli.train import main as train_main
+
+        return train_main([
+            "--targetIndex", "1",
+            "--expFile", cfg["expFile"],
+            "--inputFile", cfg["inputFile"],
+            "--annoFile", cfg["annoFile"],
+            "--num_round", str(cfg["num_round"]),
+            "--output_dir", cfg["out_dir"],
+        ])
+
     print(f"unknown worker mode {mode!r}", file=sys.stderr)
     return 2
 

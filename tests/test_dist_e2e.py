@@ -144,6 +144,73 @@ def test_chromatin_cli_two_process_matches_single(tmp_path, weights_npz, genome_
         assert sum(1 for line in f if not line.startswith("#")) == 6
 
 
+def test_features_cli_two_process_matches_single(tmp_path, weights_npz, genome_fixture):
+    """expecto-compute-features across 2 hosts: the merged Xreducedall .npy
+    must be bit-identical to the single-process matrix."""
+    import pandas as pd
+
+    gpath, _contigs = genome_fixture
+    anno = pd.DataFrame({
+        "id": [f"ENSG{i:011d}" for i in range(5)],
+        "seqnames": ["chr1"] * 5,
+        "strand": ["+", "-", "+", "-", "+"],
+        "CAGE_representative_TSS": [19000, 21500, 24000, 27000, 30500],
+    })
+    anno_path = tmp_path / "geneanno.csv"
+    anno.to_csv(anno_path, index=False)
+
+    base = {"annoFile": str(anno_path), "genome": gpath, "weights": weights_npz, "batchsize": 800}
+    single_dir, dist_dir = str(tmp_path / "single"), str(tmp_path / "dist")
+    _run_single("features", {**base, "out_dir": single_dir})
+    _run_group("features", [{**base, "out_dir": dist_dir}] * 2)
+
+    name = "Xreducedall.2002.representative_tss_top.npy"
+    a = np.load(os.path.join(single_dir, name))
+    b = np.load(os.path.join(dist_dir, name))
+    assert a.shape == b.shape == (5, 20020)
+    assert not [f for f in os.listdir(dist_dir) if "shard" in f], "shards not cleaned"
+    np.testing.assert_array_equal(a, b)
+
+
+def test_train_cli_two_process_matches_single(tmp_path):
+    """expecto-train across 2 hosts: the primary's .save model must match the
+    single-process model (psum reduction-order noise only)."""
+    import pandas as pd
+
+    from expecto_tpu.io.xgb import load_xgb07_binary
+
+    rng = np.random.default_rng(11)
+    n, f = 240, 400
+    X = rng.normal(size=(n, f)).astype(np.float32)
+    w_true = rng.normal(size=f).astype(np.float32) * 0.05
+    expr = np.exp(X @ w_true + 2.0)
+    chroms = np.where(np.arange(n) % 4 == 0, "chr8", "chr2")
+    anno = pd.DataFrame({
+        "id": [f"G{i}" for i in range(n)],
+        "seqnames": chroms,
+        "type": ["protein_coding"] * n,
+    })
+    exp_df = pd.DataFrame({"gene": [f"G{i}" for i in range(n)], "tissueA": expr})
+    x_path, anno_path, exp_path = tmp_path / "X.npy", tmp_path / "anno.csv", tmp_path / "exp.csv"
+    np.save(x_path, X)
+    anno.to_csv(anno_path, index=False)
+    exp_df.to_csv(exp_path, index=False)
+
+    cfg = {"inputFile": str(x_path), "annoFile": str(anno_path), "expFile": str(exp_path), "num_round": 20}
+    single_dir, dist_dir = str(tmp_path / "single"), str(tmp_path / "dist")
+    _run_single("train_cli", {**cfg, "out_dir": single_dir}, devices=1)
+    _run_group("train_cli", [{**cfg, "out_dir": dist_dir}] * 2, devices=1)
+
+    def _model(d):
+        saves = [p for p in os.listdir(d) if p.endswith(".save")]
+        assert len(saves) == 1, saves
+        return load_xgb07_binary(os.path.join(d, saves[0]))
+
+    m1, m2 = _model(single_dir), _model(dist_dir)
+    assert np.abs(m1.weight - m2.weight).max() < 1e-5
+    assert abs(m1.bias - m2.bias) < 1e-6
+
+
 def test_gblinear_two_process_real_shape(tmp_path):
     """Row-sharded training across a real 2-process group at the production
     feature width (18k genes x 20,020 features): psum-reduced gradient sums
