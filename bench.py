@@ -268,6 +268,11 @@ def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows:
 
 _RESULT_PRINTED = False
 _PATHS: dict = {}
+#: (value, vs_baseline) of the completed primary measurement; the watchdog
+#: emits THIS when a secondary path stalls past the budget — discarding an
+#: already-measured primary for the 80.0 floor would report a false
+#: regression (ADVICE r2)
+_PRIMARY: tuple | None = None
 
 
 def _emit(value: float, vs_baseline: float, *, watchdog_fallback: bool = False) -> None:
@@ -298,7 +303,10 @@ def _arm_watchdog(seconds: float) -> None:
     import threading
 
     def fire():
-        _emit(80.0, 150.0, watchdog_fallback=True)
+        if _PRIMARY is not None:
+            _emit(_PRIMARY[0], _PRIMARY[1], watchdog_fallback=True)
+        else:
+            _emit(80.0, 150.0, watchdog_fallback=True)
         os._exit(0)
 
     t = threading.Timer(seconds, fire)
@@ -336,6 +344,19 @@ def main() -> None:
     work = _variant_workload(n_variants, 800, 218)
     tpu_vps = measure_tpu_variants_per_sec(runner, work, n_variants=n_variants)
 
+    # resolve the CPU baseline right after the primary so the watchdog can
+    # emit the real (value, ratio) pair if a secondary path stalls
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            cpu_wps = json.load(f)["cpu_windows_per_sec"]
+    else:
+        cpu_wps = measure_cpu_torch_windows_per_sec(state_dict)
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump({"cpu_windows_per_sec": cpu_wps}, f)
+    baseline = cpu_wps / WINDOWS_PER_VARIANT
+    global _PRIMARY
+    _PRIMARY = (tpu_vps, tpu_vps / baseline)
+
     # secondary paths, each time-boxed so the primary number always lands
     # within the driver's window; a skipped path is simply absent
     try:
@@ -359,15 +380,6 @@ def main() -> None:
         _PATHS["path_error"] = 0.0
         print(f"# secondary path failed: {e!r}", file=sys.stderr)
 
-    if os.path.exists(BASELINE_CACHE):
-        with open(BASELINE_CACHE) as f:
-            cpu_wps = json.load(f)["cpu_windows_per_sec"]
-    else:
-        cpu_wps = measure_cpu_torch_windows_per_sec(state_dict)
-        with open(BASELINE_CACHE, "w") as f:
-            json.dump({"cpu_windows_per_sec": cpu_wps}, f)
-
-    baseline = cpu_wps / WINDOWS_PER_VARIANT
     _emit(tpu_vps, tpu_vps / baseline)
 
 

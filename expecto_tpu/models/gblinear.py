@@ -404,6 +404,14 @@ def train_gblinear_multi_sharded(
         devs = devs[order]
     mesh = Mesh(devs, ("data",))
     l_local = jax.local_device_count()
+    if len(devs) != jax.process_count() * l_local:
+        # pad_to below assumes every host contributes the same device count;
+        # a heterogeneous group would let one host's row shard exceed its pad
+        # width (np.pad raises on the negative pad) — fail with the cause
+        raise ValueError(
+            f"train_gblinear_multi_sharded requires uniform devices per host: "
+            f"{len(devs)} global != {jax.process_count()} processes x {l_local} local"
+        )
     if jax.process_count() > 1:
         from jax.experimental import multihost_utils
 
@@ -429,7 +437,6 @@ def train_gblinear_multi_sharded(
     nb, B, _ = Xt_blocks.shape
     N = len(devs) * d_rows
 
-    row_shard = NamedSharding(mesh, P("data"))
     row2_shard = NamedSharding(mesh, P("data", None))
     col_shard = NamedSharding(mesh, P(None, None, "data"))
     repl = NamedSharding(mesh, P())

@@ -73,9 +73,13 @@ def shard_path(path: str, process_index: int | None = None, process_count: int |
 
 def list_shards(path: str) -> list[str]:
     """All shard files for a logical path, in shard order; [path] if the
-    unsharded file exists."""
-    if os.path.exists(path):
-        return [path]
+    unsharded file exists and no shards do.
+
+    Shard files take precedence over a pre-existing merged file: a
+    distributed rerun into an output dir that already holds a previous run's
+    merged output must merge the FRESH shards over it, not silently serve
+    the stale file (the mergers write atomically via os.replace, so a
+    half-merged file never shadows the shards either)."""
     stem, ext = os.path.splitext(path)
     by_index: dict[int, str] = {}
     worlds = set()
@@ -86,7 +90,7 @@ def list_shards(path: str) -> list[str]:
         by_index[int(m.group(1))] = fpath
         worlds.add(int(m.group(2)))
     if not by_index:
-        return []
+        return [path] if os.path.exists(path) else []
     # every file must agree on the world size AND indices must be exactly
     # 0..N-1 — shard files left behind by a run with a different host count
     # (e.g. a 2-host set mixed with a partial 4-host rerun) must not be
@@ -148,7 +152,7 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
     for name, rows in shard_rows.items():
         if len(rows) != len(shards):
             raise AssertionError(f"dataset {name} missing from some shards of {path}")
-    with h5py.File(out_path, "w") as out:
+    with h5py.File(out_path + ".tmp", "w") as out:
         dsets = {name: out.create_dataset(name, shape=shapes[name], dtype=dtypes[name]) for name in shapes}
         # segment k of the merged file starts where all shards' first k
         # segments end; within it shards contribute in shard order
@@ -163,6 +167,7 @@ def merge_sharded_h5(path: str, out_path: str | None = None, delete_shards: bool
                         o = k * seg_total[name] + seg_done[name]
                         dsets[name][o : o + seg] = f[name][k * seg : (k + 1) * seg]
                     seg_done[name] += seg
+    os.replace(out_path + ".tmp", out_path)
     if delete_shards:
         for s in shards:
             os.remove(s)
@@ -179,7 +184,9 @@ def merge_sharded_npy(path: str, out_path: str | None = None, delete_shards: boo
     if shards == [path]:
         return path
     merged = np.concatenate([np.load(s) for s in shards], axis=0)
-    np.save(out_path, merged)
+    with open(out_path + ".tmp", "wb") as f:
+        np.save(f, merged)
+    os.replace(out_path + ".tmp", out_path)
     if delete_shards:
         for s in shards:
             os.remove(s)

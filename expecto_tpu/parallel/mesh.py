@@ -90,7 +90,12 @@ def maybe_initialize_distributed() -> None:
     addr = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get("COORDINATOR_ADDRESS")
     if not addr:
         return
-    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] == "cpu":
+    # CPU cross-process collectives need gloo (the default 'none' silently
+    # yields per-process single-host worlds). Enable it whenever the platform
+    # is cpu OR unconfigured: on an accelerator machine the unused CPU
+    # backend ignores it, while a CPU-only coordinator run without
+    # JAX_PLATFORMS=cpu would otherwise hit the silent-worlds failure.
+    if os.environ.get("JAX_PLATFORMS", "").split(",")[0] in ("", "cpu"):
         jax.config.update("jax_cpu_collectives_implementation", "gloo")
     nproc = os.environ.get("JAX_NUM_PROCESSES")
     pid = os.environ.get("JAX_PROCESS_ID")

@@ -51,6 +51,27 @@ class TestShardedH5:
             np.testing.assert_array_equal(f["ids"], ids)
         assert list_shards(path) == [path]
 
+    def test_fresh_shards_supersede_stale_merged_file(self, tmp_path):
+        """A rerun into an output dir holding a previous run's merged file
+        must merge the FRESH shards over it, not serve the stale file
+        (ADVICE r2: list_shards used to early-return the merged path)."""
+        path = str(tmp_path / "out.h5")
+        with h5py.File(path, "w") as f:
+            f.create_dataset("data", data=np.zeros((5, 4), np.float32))  # stale
+
+        n, w = 10, 2
+        full = np.arange(n * 4, dtype=np.float32).reshape(n, 4) + 1.0
+        for r in range(w):
+            a, b = host_row_range(n, r, w)
+            with h5py.File(shard_path(path, r, w), "w") as f:
+                f.create_dataset("data", data=full[a:b])
+
+        assert len(list_shards(path)) == w  # shards win over the stale file
+        merge_sharded_h5(path, delete_shards=True)
+        with h5py.File(path) as f:
+            np.testing.assert_array_equal(f["data"], full)
+        assert list_shards(path) == [path]
+
     def test_missing_shard_raises(self, tmp_path):
         path = str(tmp_path / "x.h5")
         with h5py.File(shard_path(path, 0, 3), "w") as f:
