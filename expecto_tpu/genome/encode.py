@@ -71,6 +71,16 @@ def seqs_to_codes(seqs, inputsize: int = 2000) -> np.ndarray:
     return out
 
 
+def alleles_to_flat_codes(alleles) -> tuple[np.ndarray, np.ndarray]:
+    """Variable-length allele strings -> (concatenated int8 codes, per-allele
+    lengths). One encode pass for a whole VCF column (the splice-scatter
+    companion of :func:`seqs_to_codes`'s fixed-width windows)."""
+    alleles = list(alleles)
+    cat = np.frombuffer("".join(alleles).encode("latin-1"), dtype=np.uint8)
+    lens = np.fromiter((len(a) for a in alleles), np.int64, len(alleles))
+    return _BYTE_LUT[cat], lens
+
+
 def reverse_complement_codes(codes: np.ndarray) -> np.ndarray:
     """Reverse-complement base codes along the last (position) axis."""
     return _COMPLEMENT[codes][..., ::-1]

@@ -8,11 +8,16 @@ forward, [N:2N] reverse complement).
 
 TPU-first restructuring vs the reference:
     - **span amortization**: the 9 shift windows of one allele overlap by up
-      to 90%; for substitution variants one spliced 2*maxshift+2000 bp span
-      is encoded per allele and the conv stack runs once over it, windows
-      taken as slices (ops/spans.py) — ~5x fewer conv FLOPs. Indels fall
-      back to the per-window path (their center-crop interacts with allele
-      length, chromatin.py:209 + expecto_utils.py:31).
+      to 90%; one spliced 2*maxshift+2000 bp span is encoded per allele and
+      the conv stack runs once over it, windows taken as slices
+      (ops/spans.py) — ~5x fewer conv FLOPs. Indels ride the same kernel:
+      the reference's splice-then-center-crop (chromatin.py:209 +
+      expecto_utils.py:31) shifts every shift window's crop start by the
+      same (100+dL)//2, so the alt windows are slices of ONE crop-adjusted
+      alt span at the ref offsets (see _run_span_path). Only variants whose
+      windows cross a contig edge (where the reference clamp-shifts the
+      fetch) or whose length change exceeds the crop slack fall back to the
+      per-window path.
     - windows ship as int8 codes through one fixed-shape jitted forward (no
       per-batch host<->device round trips, no recompiles);
     - the batch axis shards over the device mesh (replacing the
@@ -28,7 +33,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 
-from ..genome.encode import seqs_to_codes, reverse_complement_codes
+from ..genome.encode import alleles_to_flat_codes, seqs_to_codes, reverse_complement_codes
 from ..genome.fasta import FastaIndex
 from ..genome.windows import fetch_variant_window, variant_shifts
 from ..io.h5 import write_legacy_shift_h5, write_shift_h5
@@ -109,27 +114,110 @@ def _diagnostics(genome, chroms, positions, refs, alts, inputsize, verbose):
     return ref_matched, alt_matched
 
 
+def _scatter_alleles(spans: np.ndarray, row_idx, codes_flat: np.ndarray, lens: np.ndarray, start_cols) -> None:
+    """Splice variable-length allele codes into
+    ``spans[row_idx[i], start_cols[i] : start_cols[i] + lens[i]]`` with one
+    scatter; columns outside the span are dropped (the window path's
+    center-crop discards them too)."""
+    if codes_flat.size == 0:
+        return
+    rows = np.repeat(np.asarray(row_idx, np.int64), lens)
+    offs = np.concatenate([[0], np.cumsum(lens)[:-1]])
+    cols = np.arange(codes_flat.size) - np.repeat(offs, lens) + np.repeat(np.asarray(start_cols, np.int64), lens)
+    keep = (cols >= 0) & (cols < spans.shape[1])
+    spans[rows[keep], cols[keep]] = codes_flat[keep].astype(np.int8)
+
+
+def _gather_spans(genome, chroms: np.ndarray, starts_1based: np.ndarray, span_len: int) -> np.ndarray:
+    """One vectorized window_codes gather per chromosome -> (n, span_len)."""
+    out = np.empty((len(starts_1based), span_len), dtype=np.int8)
+    for chrom in dict.fromkeys(chroms.tolist()):
+        m = chroms == chrom
+        out[m] = genome.window_codes(chrom, starts_1based[m], span_len)
+    return out
+
+
+def _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize) -> np.ndarray:
+    """Per-variant mask: True where the span fast path reproduces the
+    reference's fetch+splice+crop semantics exactly — every uncropped
+    per-shift window lies fully inside the contig (a clamped fetch makes the
+    reference splice at a shifted site and crop a shorter window,
+    chromatin.py:205-209 + expecto_utils.py:31, which only the per-window
+    path reproduces) and the allele length change fits the crop arithmetic:
+    dL < -100 drops the crop start below zero; a huge insertion would push
+    it past the span."""
+    half_w1 = (inputsize + 100) // 2 - 1
+    positions = np.asarray(positions, dtype=np.int64)
+    _, ref_lens = alleles_to_flat_codes(refs)
+    _, alt_lens = alleles_to_flat_codes(alts)
+    dL = alt_lens - ref_lens
+    chroms = np.asarray(chroms)
+    contig_len = {c: (genome.contig_length(c) if c in genome else -1) for c in dict.fromkeys(chroms.tolist())}
+    clens = pd.Series(chroms).map(contig_len).to_numpy(np.int64)
+    return (
+        (dL >= -100)
+        & (dL <= 2 * maxshift + inputsize - 200)
+        & (positions - maxshift - half_w1 >= 1)
+        & (positions + maxshift + half_w1 + 1 <= clens)
+    )
+
+
 def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
-    """Substitution fast path: one spliced span per allele, conv shared
-    across shifts. Returns {shift: (ref_rows, alt_rows)} with the reference
-    row layout [fwd; rc]."""
+    """Fast path for span-eligible variants (substitutions AND indels): one
+    spliced span per allele, conv shared across shifts.
+
+    Substitutions share one genome gather per variant, each allele spliced
+    at ``mutpos``. Indels follow the reference's splice-then-center-crop
+    arithmetic (chromatin.py:209 + expecto_utils.py:31): the uncropped alt
+    window of every shift is 2100+dL long and cropped from column
+    ``c = (100+dL)//2``, so the cropped alt windows of ALL shifts are slices
+    of one "cropped alt span" — (left genome | alt | right genome) shifted
+    by ``c`` — at the SAME offsets as the ref span. Both alleles therefore
+    ride one batched span kernel; per-variant cost equals the substitution
+    path's. Host assembly is fully vectorized: one ``window_codes`` gather
+    per chromosome per piece plus one allele scatter (no per-variant Python
+    loop).
+
+    Returns {shift: (ref_rows, alt_rows)} with the reference row layout
+    [fwd; rc].
+    """
     n = len(chroms)
-    half = int((inputsize + 100) / 2 - 1) - 50  # = inputsize/2 - 1 after center crop
+    half = inputsize // 2 - 1              # bases left of `pos` in a cropped window
+    half_w1 = (inputsize + 100) // 2 - 1   # ... in the uncropped fetch window
     span_len = 2 * maxshift + inputsize
     offsets = tuple(s + maxshift for s in shifts)
-    mutpos = maxshift + half  # 0-based index of `pos` within the span
+    mutpos = maxshift + half  # 0-based index of `pos` within the ref span
 
-    starts = [positions[i] - maxshift - half for i in range(n)]
-    ref_spans = np.empty((n, span_len), dtype=np.int8)
+    positions = np.asarray(positions, dtype=np.int64)
+    chroms = np.asarray(chroms)
+    ref_codes, ref_lens = alleles_to_flat_codes(refs)
+    alt_codes, alt_lens = alleles_to_flat_codes(alts)
+    dL = alt_lens - ref_lens
+    rows = np.arange(n)
+
+    ref_spans = _gather_spans(genome, chroms, positions - maxshift - half, span_len)
+    _scatter_alleles(ref_spans, rows, ref_codes, ref_lens, np.full(n, mutpos))
+
     alt_spans = np.empty((n, span_len), dtype=np.int8)
-    for i in range(n):
-        span = genome.window_codes(chroms[i], [starts[i]], span_len)[0]
-        ref_codes = seqs_to_codes([refs[i]], len(refs[i]))[0]
-        alt_codes = seqs_to_codes([alts[i]], len(alts[i]))[0]
-        ref_spans[i] = span
-        ref_spans[i, mutpos : mutpos + len(refs[i])] = ref_codes
-        alt_spans[i] = span
-        alt_spans[i, mutpos : mutpos + len(alts[i])] = alt_codes
+    alt_start = np.full(n, mutpos, np.int64)
+    is_sub = dL == 0
+    if is_sub.any():
+        alt_spans[is_sub] = ref_spans[is_sub]
+    ind = np.nonzero(~is_sub)[0]
+    if ind.size:
+        # crop start of the (2100+dL)-long uncropped alt window; the left
+        # genome piece covers cropped columns [0, left_len), the alt allele
+        # [left_len, left_len+len(alt)), the post-splice genome the rest
+        c = (100 + dL[ind]) // 2
+        left_len = (maxshift + half_w1) - c
+        left = _gather_spans(genome, chroms[ind], positions[ind] - maxshift - half_w1 + c, span_len)
+        right = _gather_spans(
+            genome, chroms[ind], positions[ind] + ref_lens[ind] - left_len - alt_lens[ind], span_len
+        )
+        cols = np.arange(span_len)[None, :]
+        alt_spans[ind] = np.where(cols < left_len[:, None], left, right)
+        alt_start[ind] = left_len
+    _scatter_alleles(alt_spans, rows, alt_codes, alt_lens, alt_start)
 
     both = np.concatenate([ref_spans, alt_spans], axis=0)
     preds = runner.predict_span_codes(both, offsets, rc_mode="concat")  # (2n, 2, S, M)
@@ -191,8 +279,10 @@ def compute_variant_chromatin_effects(
             skip writing).
         keep_arrays: also return in-memory arrays (for fused SED scoring
             without the HDF5 round-trip).
-        use_spans: 'auto' (span path for substitution-only VCFs), 'always',
-            or 'never'.
+        use_spans: 'auto' (span path for every span-eligible variant —
+            substitutions and indels within the crop slack, windows fully
+            inside the contig — per-window path for the rest), 'always'
+            (raise if any row is ineligible), or 'never'.
         legacy_h5: additionally write the original-ExPecto single-``pred``
             schema as ``{prefix}.shift_{s}.legacy.diff.h5``.
         distribute: in a multi-process (``jax.distributed``) run, each host
@@ -228,13 +318,28 @@ def compute_variant_chromatin_effects(
         genome, chroms, positions, refs, alts, inputsize, verbose and (not distributed or dist.is_primary())
     )
     result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=ref_matched, alt_matched=alt_matched)
+
+    span_capable = hasattr(runner, "predict_span_codes")
+    # eligibility is evaluated on the FULL table so every host in a
+    # distributed run reaches the same use_spans='always' verdict — a single
+    # host raising while the rest block at the shard barrier would turn a
+    # clear error into a distributed timeout (ADVICE r2)
+    span_ok = _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize)
+    if use_spans == "always":
+        if not span_capable:
+            raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")
+        n_bad = int((~span_ok).sum())
+        if n_bad:
+            raise ValueError(
+                f"use_spans='always' requires span-eligible variants; {n_bad} rows are not "
+                "(allele length change beyond the 100 bp crop slack, or shift windows crossing "
+                "a contig edge where the reference clamp-shifts the fetch) — use 'auto' or 'never'"
+            )
     if distributed:
         chroms, positions, refs, alts = chroms[lo:hi], positions[lo:hi], refs[lo:hi], alts[lo:hi]
+        span_ok = span_ok[lo:hi]
         n = hi - lo
 
-    is_sub = np.array([len(r) == len(a) for r, a in zip(refs, alts)], dtype=bool)
-    all_substitutions = bool(is_sub.all())
-    span_capable = hasattr(runner, "predict_span_codes")
     if n == 0:
         # a host can own zero rows when hosts outnumber variants; its shards
         # must still exist with every dataset for the merge to reassemble
@@ -242,24 +347,17 @@ def compute_variant_chromatin_effects(
 
         empty = np.zeros((0, BELUGA_N_TRACKS), np.float32)
         per_shift = {shift: (empty, empty) for shift in shifts}
-    if use_spans == "always":
-        if not all_substitutions:
-            raise ValueError(
-                "use_spans='always' requires substitution-only variants; indels need the "
-                "per-window path's insert + center-crop semantics (use 'auto' or 'never')"
-            )
-        if not span_capable:
-            raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")
-    if n == 0:
-        pass  # empty per_shift built above
-    elif use_spans == "always" or (use_spans == "auto" and all_substitutions and span_capable and n > 0):
+    elif use_spans == "never" or not span_capable:
+        per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
+    elif span_ok.all():
         per_shift = _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize)
-    elif use_spans == "auto" and span_capable and is_sub.any():
-        # mixed VCF: substitutions keep the span fast path, indels take the
-        # per-window path, rows re-merged into input order (one slow row must
-        # not demote the whole chunk)
-        sub = np.nonzero(is_sub)[0]
-        ind = np.nonzero(~is_sub)[0]
+    elif span_ok.any():
+        # mixed eligibility: eligible rows (substitutions AND in-bounds
+        # indels) keep the span fast path; edge/out-of-slack rows take the
+        # per-window path; rows re-merged into input order (one slow row
+        # must not demote the whole chunk)
+        sub = np.nonzero(span_ok)[0]
+        ind = np.nonzero(~span_ok)[0]
         ps_sub = _run_span_path(
             genome, runner, chroms[sub], positions[sub], refs[sub], alts[sub], shifts, maxshift, inputsize
         )

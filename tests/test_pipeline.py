@@ -86,46 +86,86 @@ class TestChromatinPipeline:
             np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
 
 
-class TestMixedVcfPathSplit:
-    def test_mixed_vcf_splits_by_variant_class(self, tiny_genome, runner, tmp_path):
-        """A mixed substitution/indel VCF must route substitutions through the
-        span fast path and indels through the window path, with rows merged
-        back in input order — one indel must not demote the whole chunk."""
+class TestSpanPathRouting:
+    def test_mixed_vcf_rides_one_span_batch(self, tiny_genome, runner):
+        """Substitutions AND in-slack indels are span-eligible: 'auto' on a
+        mixed VCF equals use_spans='always' bit-for-bit (everything in one
+        span batch, no per-class split) and matches the reference per-window
+        semantics numerically."""
         fa, contigs = tiny_genome
         c1 = contigs["chr1"]
         rows = [
             ["chr1", 5000, ".", c1[4999], "T" if c1[4999] != "T" else "A"],      # sub
-            ["chr1", 9000, ".", c1[8999 : 8999 + 3], c1[8999]],                  # deletion
+            ["chr1", 9000, ".", c1[8999 : 8999 + 3], c1[8999]],                  # deletion (-2)
             ["chr1", 12000, ".", c1[11999], "C" if c1[11999] != "C" else "G"],   # sub
-            ["chr1", 20000, ".", c1[19999], c1[19999] + "AG"],                   # insertion
+            ["chr1", 20000, ".", c1[19999], c1[19999] + "AG"],                   # insertion (+2)
         ]
         vcf = pd.DataFrame(rows)
-        sub_idx, ind_idx = [0, 2], [1, 3]
+
+        auto = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, verbose=False
+        )
+        spans = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, use_spans="always", verbose=False
+        )
+        windows = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, use_spans="never", verbose=False
+        )
+        for shift in auto.shifts:
+            for k in range(3):  # diff, ref, alt
+                np.testing.assert_array_equal(auto.arrays[shift][k], spans.arrays[shift][k])
+                np.testing.assert_allclose(auto.arrays[shift][k], windows.arrays[shift][k], atol=3e-5)
+
+    def test_ineligible_rows_fall_back_to_window_path(self, tiny_genome, runner):
+        """Rows the span path cannot reproduce exactly — allele length change
+        beyond the 100 bp crop slack, or shift windows crossing a contig
+        edge (the reference clamp-shifts those fetches) — take the
+        per-window path; eligible rows keep the span path; rows re-merge in
+        input order."""
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        rows = [
+            ["chr1", 5000, ".", c1[4999], "T" if c1[4999] != "T" else "A"],     # eligible sub
+            ["chr1", 15000, ".", c1[14999 : 14999 + 151], c1[14999]],           # -150 bp: out of crop slack
+            ["chr1", 900, ".", c1[899], "A" if c1[899] != "A" else "G"],        # windows cross contig start
+            ["chr1", 22000, ".", c1[21999], c1[21999] + "CT"],                  # eligible insertion
+        ]
+        vcf = pd.DataFrame(rows)
+        ok_idx, bad_idx = [0, 3], [1, 2]
 
         res = compute_variant_chromatin_effects(
             vcf, fa, runner, None, maxshift=200, keep_arrays=True, verbose=False
         )
-        res_sub = compute_variant_chromatin_effects(
-            vcf.iloc[sub_idx], fa, runner, None, maxshift=200, keep_arrays=True,
+        res_ok = compute_variant_chromatin_effects(
+            vcf.iloc[ok_idx], fa, runner, None, maxshift=200, keep_arrays=True,
             use_spans="always", verbose=False,
         )
-        res_ind = compute_variant_chromatin_effects(
-            vcf.iloc[ind_idx], fa, runner, None, maxshift=200, keep_arrays=True,
+        res_bad = compute_variant_chromatin_effects(
+            vcf.iloc[bad_idx], fa, runner, None, maxshift=200, keep_arrays=True,
             use_spans="never", verbose=False,
         )
-        n, ns, ni = 4, 2, 2
+        n, nk, nb = 4, 2, 2
         for shift in res.shifts:
             for k in range(3):  # diff, ref, alt
                 merged = res.arrays[shift][k]
-                subset = res_sub.arrays[shift][k]
-                indset = res_ind.arrays[shift][k]
-                assert merged.shape == (2 * n, subset.shape[1])
+                okset = res_ok.arrays[shift][k]
+                badset = res_bad.arrays[shift][k]
+                assert merged.shape == (2 * n, okset.shape[1])
                 # per-class bit-equality (same kernels, same inputs), rows in
                 # input order, fwd rows [0:N] / RC rows [N:2N]
-                np.testing.assert_array_equal(merged[sub_idx], subset[:ns])
-                np.testing.assert_array_equal(merged[[n + i for i in sub_idx]], subset[ns:])
-                np.testing.assert_array_equal(merged[ind_idx], indset[:ni])
-                np.testing.assert_array_equal(merged[[n + i for i in ind_idx]], indset[ni:])
+                np.testing.assert_array_equal(merged[ok_idx], okset[:nk])
+                np.testing.assert_array_equal(merged[[n + i for i in ok_idx]], okset[nk:])
+                np.testing.assert_array_equal(merged[bad_idx], badset[:nb])
+                np.testing.assert_array_equal(merged[[n + i for i in bad_idx]], badset[nb:])
+
+    def test_always_raises_on_ineligible_rows(self, tiny_genome, runner):
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        vcf = pd.DataFrame([["chr1", 15000, ".", c1[14999 : 14999 + 151], c1[14999]]])
+        with pytest.raises(ValueError, match="span-eligible"):
+            compute_variant_chromatin_effects(
+                vcf, fa, runner, None, maxshift=200, keep_arrays=True, use_spans="always", verbose=False
+            )
 
 
 class TestDiagnostics:
