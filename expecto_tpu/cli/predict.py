@@ -45,8 +45,13 @@ def main(argv=None) -> int:
 
     from ..io.tables import load_beluga_features, load_modellist, load_closest_genes
     from ..io.xgb import load_expression_model
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..pipeline.sed import load_shift_effects, score_sed, score_sed_multimodel
     from ..utils.keep_mask import get_keep_mask
+
+    # multi-host: join the process group before first backend use; scoring
+    # rows then shard per host (replaces merge_predict_batched.py:10-30)
+    maybe_initialize_distributed()
 
     args = build_parser().parse_args(argv)
 

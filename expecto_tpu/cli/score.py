@@ -38,8 +38,14 @@ def main(argv=None) -> int:
     from ..genome.vcf import read_vcf, standardize_chroms
     from ..io.tables import load_closest_genes, load_modellist
     from ..models.convert import load_params_npz
+    from ..parallel.mesh import maybe_initialize_distributed
     from ..parallel.runner import BelugaRunner
     from ..pipeline.sed import score_sed_serving
+
+    # multi-host: join the process group before first backend use; the
+    # (variant, gene) rows then shard per host and the primary writes the
+    # merged output.csv (pipeline/sed.py::score_sed_serving)
+    maybe_initialize_distributed()
 
     genome = FastaIndex(args.genome)
     vcf = standardize_chroms(read_vcf(args.inputfile))

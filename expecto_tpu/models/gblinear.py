@@ -79,9 +79,14 @@ class GBLinearModel:
 def predict_gblinear(model: GBLinearModel, X) -> np.ndarray:
     # host numpy: a single matvec gains nothing from the accelerator, and
     # keeping prediction off-device lets the predict CLI run without
-    # claiming a TPU
+    # claiming a TPU. einsum (not BLAS gemv) on purpose: gemv's reduction
+    # order depends on the row count, so a host-sharded run would score the
+    # same row differently than a single-process run; einsum's fixed
+    # contraction order keeps sed.tsv bit-identical under row sharding
+    # (tests/test_dist_e2e.py::test_predict_cli_two_process_matches_single)
     X = np.asarray(X, dtype=np.float32)
-    return (model.base_score + model.bias + X @ np.asarray(model.weight, dtype=np.float32)).astype(np.float32)
+    w = np.asarray(model.weight, dtype=np.float32)
+    return (model.base_score + model.bias + np.einsum("...f,f->...", X, w)).astype(np.float32)
 
 
 def _coord_delta(g: jax.Array, h: jax.Array, w: jax.Array, lam: float, alpha: float) -> jax.Array:
@@ -256,6 +261,8 @@ class MultiTrainResult:
     weights: np.ndarray  # (F, K)
     biases: np.ndarray  # (K,)
     base_score: float
+    #: optional {name: [per-round RMSE]} — (K,) arrays per round for K > 1
+    eval_history: dict = field(default_factory=dict)
 
 
 def train_gblinear_multi(
@@ -362,6 +369,7 @@ def train_gblinear_multi_sharded(
     params: GBLinearParams | None = None,
     *,
     row_weights_local: np.ndarray | None = None,
+    evals: list[tuple] | None = None,
     verbose: bool = False,
 ) -> MultiTrainResult:
     """Row-sharded K-model training over the GLOBAL device mesh — the
@@ -379,6 +387,13 @@ def train_gblinear_multi_sharded(
     Single-process this still shards rows over the local devices, so the
     same code path is exercised by the CPU mesh tests and the multichip
     dryrun.
+
+    ``evals``: xgboost-style watchlist [(X_eval, y_eval, name), ...] with
+    eval sets REPLICATED on every host (the chr8 holdout is small; the
+    reference prints this watchlist every round, train.py:146-154). Per
+    round the replicated weights are fetched once and RMSE computed on
+    host — one (n_eval, F) matvec per set; ``y_eval`` may be (n_e,) or
+    (n_e, K). Recorded in ``eval_history`` (and printed when verbose).
     """
     import jax.experimental.shard_map as _shard_map
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -472,13 +487,31 @@ def train_gblinear_multi_sharded(
 
     w_blocks = jax.device_put(np.zeros((nb, B, k), np.float32), repl)
     bias = jax.device_put(np.zeros((k,), np.float32), repl)
+    history: dict[str, list] = {name: [] for *_unused, name in (evals or [])}
+    verbose = verbose and jax.process_index() == 0  # one watchlist, not one per host
     for it in range(hp.num_round):
         w_blocks, bias, r_g = sharded_round(w_blocks, bias, r_g, rw_g, n_eff, Xt_g, hess_g)
-        if verbose and it % 10 == 0:
+        if evals:
+            # weights are replicated, so every host fetches identical values
+            # and computes an identical watchlist — no extra collectives
+            w_now = np.asarray(jax.device_get(w_blocks)).reshape(-1, k)[:f]
+            b_now = np.asarray(jax.device_get(bias))
+            for Xe, ye, name in evals:
+                pred = hp.base_score + b_now[None, :] + np.asarray(Xe, np.float32) @ w_now
+                ye = np.asarray(ye, np.float32)
+                err = pred - (ye[:, None] if ye.ndim == 1 else ye)
+                rmse = np.sqrt(np.mean(err**2, axis=0))
+                history[name].append(float(rmse[0]) if k == 1 else rmse)
+                if verbose:
+                    print(f"[{it}]\t{name}-rmse:" + ",".join(f"{v:.6f}" for v in np.atleast_1d(rmse)))
+        elif verbose and it % 10 == 0:
             print(f"[{it}] sharded round done")
 
     weights = np.asarray(jax.device_get(w_blocks)).reshape(-1, k)[:f]
-    return MultiTrainResult(weights=weights, biases=np.asarray(jax.device_get(bias)), base_score=hp.base_score)
+    return MultiTrainResult(
+        weights=weights, biases=np.asarray(jax.device_get(bias)),
+        base_score=hp.base_score, eval_history=history,
+    )
 
 
 def train_gblinear_sharded(
@@ -486,16 +519,21 @@ def train_gblinear_sharded(
     y_local,
     params: GBLinearParams | None = None,
     *,
+    evals: list[tuple] | None = None,
     verbose: bool = False,
 ) -> GBLinearModel:
     """Single-model row-sharded trainer (K=1 view of
     :func:`train_gblinear_multi_sharded`); runs all ``num_round`` rounds (the
     reference's effective behavior — it passes early_stopping_rounds where
-    xgboost ignores it, train.py:140-146)."""
+    xgboost ignores it, train.py:140-146). ``evals`` sets must be replicated
+    on every host; the per-round watchlist matches :func:`train_gblinear`'s."""
     hp = params or GBLinearParams()
-    multi = train_gblinear_multi_sharded(X_local, np.asarray(y_local, np.float32)[:, None], hp, verbose=verbose)
+    multi = train_gblinear_multi_sharded(
+        X_local, np.asarray(y_local, np.float32)[:, None], hp, evals=evals, verbose=verbose
+    )
     return GBLinearModel(
         weight=multi.weights[:, 0].astype(np.float32),
         bias=float(multi.biases[0]),
         base_score=hp.base_score,
+        eval_history=multi.eval_history,
     )

@@ -218,6 +218,37 @@ def merge_sharded_csv(path: str, out_path: str | None = None, delete_shards: boo
     return out_path
 
 
+def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -> dict[str, np.ndarray]:
+    """Share per-host contiguous row blocks through the filesystem: each host
+    writes its block (the ``host_row_range`` slice, in global row order) as
+    one npz shard; after a barrier every host assembles and returns the full
+    arrays. The wire format is exact (raw float bits, no CSV round-trip), so
+    assembled arrays are bit-identical to a single-process computation of
+    row-independent kernels. Single-process: returns ``arrays`` unchanged.
+
+    Replaces the reference's chunk-CSV + merge_predict_batched.py:10-30
+    scale-out for the serving/scoring paths."""
+    rank, world = process_info()
+    if world == 1:
+        return arrays
+    os.makedirs(tmp_dir, exist_ok=True)
+    path = os.path.join(tmp_dir, f".exchange_{tag}.npz")
+    np.savez(shard_path(path), **arrays)
+    barrier(f"exchange.{tag}.written")
+    shards = list_shards(path)
+    per_key: dict[str, list[np.ndarray]] = {}
+    for s in shards:
+        with np.load(s) as f:
+            for k in f.files:
+                per_key.setdefault(k, []).append(f[k])
+    merged = {k: np.concatenate(v, axis=0) for k, v in per_key.items()}
+    barrier(f"exchange.{tag}.read")
+    if is_primary():
+        for s in shards:
+            os.remove(s)
+    return merged
+
+
 def assemble_rows(parts: list[tuple[int, np.ndarray]], n_rows: int) -> np.ndarray:
     """Place (start, block) pairs into a (n_rows, ...) array (in-memory
     merge for collectives-free host gathers)."""

@@ -162,9 +162,12 @@ def _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize) -
     )
 
 
-def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
-    """Fast path for span-eligible variants (substitutions AND indels): one
-    spliced span per allele, conv shared across shifts.
+def assemble_variant_spans(
+    genome, chroms, positions, refs, alts, maxshift: int, inputsize: int = 2000
+) -> tuple[np.ndarray, np.ndarray]:
+    """Build one spliced (ref, alt) span pair per span-eligible variant; the
+    2,000-bp window of shift ``s`` is span[s + maxshift : +inputsize] for
+    BOTH alleles.
 
     Substitutions share one genome gather per variant, each allele spliced
     at ``mutpos``. Indels follow the reference's splice-then-center-crop
@@ -177,15 +180,11 @@ def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshi
     path's. Host assembly is fully vectorized: one ``window_codes`` gather
     per chromosome per piece plus one allele scatter (no per-variant Python
     loop).
-
-    Returns {shift: (ref_rows, alt_rows)} with the reference row layout
-    [fwd; rc].
     """
     n = len(chroms)
     half = inputsize // 2 - 1              # bases left of `pos` in a cropped window
     half_w1 = (inputsize + 100) // 2 - 1   # ... in the uncropped fetch window
     span_len = 2 * maxshift + inputsize
-    offsets = tuple(s + maxshift for s in shifts)
     mutpos = maxshift + half  # 0-based index of `pos` within the ref span
 
     positions = np.asarray(positions, dtype=np.int64)
@@ -218,7 +217,17 @@ def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshi
         alt_spans[ind] = np.where(cols < left_len[:, None], left, right)
         alt_start[ind] = left_len
     _scatter_alleles(alt_spans, rows, alt_codes, alt_lens, alt_start)
+    return ref_spans, alt_spans
 
+
+def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
+    """Fast path for span-eligible variants (substitutions AND indels): one
+    spliced span per allele (see :func:`assemble_variant_spans`), conv
+    shared across shifts. Returns {shift: (ref_rows, alt_rows)} with the
+    reference row layout [fwd; rc]."""
+    n = len(chroms)
+    offsets = tuple(s + maxshift for s in shifts)
+    ref_spans, alt_spans = assemble_variant_spans(genome, chroms, positions, refs, alts, maxshift, inputsize)
     both = np.concatenate([ref_spans, alt_spans], axis=0)
     preds = runner.predict_span_codes(both, offsets, rc_mode="concat")  # (2n, 2, S, M)
     out = {}

@@ -150,17 +150,42 @@ def score_sed(
     keep_mask: np.ndarray | None = None,
     fixeddist: int = 0,
     out_dir: str | os.PathLike | None = None,
+    distribute: bool = True,
 ) -> SedResult:
     """Single-model SED scoring -> sed.tsv (+ sorted variants)
-    (fork contract, predict.py:249-280)."""
+    (fork contract, predict.py:249-280).
+
+    Multi-process runs shard the (variant, gene) rows per host
+    (``host_row_range``), exchange the per-row REF/ALT/SED scalars through
+    exact npz shards, and every host assembles the identical full table; the
+    primary writes the output files. Replaces the reference's
+    merge_predict_batched.py:10-30 chunk scale-out. Requires ``out_dir``
+    (the shard exchange rides the shared filesystem)."""
     inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
+
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    distributed = distribute and world > 1 and out_dir is not None
+    if distributed:
+        lo, hi = dist.host_row_range(inputs.coor.shape[0])
+        local = SedInputs(
+            coor=inputs.coor.iloc[lo:hi],
+            dist=inputs.dist[lo:hi],
+            strand=inputs.strand[lo:hi],
+            genename=inputs.genename[lo:hi],
+            effects={k: v[:, lo:hi] for k, v in inputs.effects.items()},
+        )
+    else:
+        local = inputs
+
     have_refalt = "ref" in inputs.effects and "alt" in inputs.effects
     # fork-schema inputs (diff/ref/alt) report SED = ALT - REF only
     # (predict.py:264; the diff-based 'effect' is dead code there,
     # SURVEY §2.1) — skip projecting/scoring the diff tensor entirely,
     # ~1/3 of the projection FLOPs on the scoring path
     keys = ("ref", "alt") if have_refalt else ("diff",)
-    feats = _project(inputs, maxshift, keep_mask, n_tracks, keys=keys)
+    feats = _project(local, maxshift, keep_mask, n_tracks, keys=keys)
 
     def predict(X):
         return model.predict(_match_model_features(X, model, n_tracks))
@@ -179,6 +204,10 @@ def score_sed(
         ref = np.zeros_like(effect)
         alt = np.zeros_like(effect)
         sed = -effect
+
+    if distributed:
+        merged = dist.exchange_row_blocks({"ref": ref, "alt": alt, "sed": sed}, str(out_dir), "sed_rows")
+        ref, alt, sed = merged["ref"], merged["alt"], merged["sed"]
 
     df = inputs.coor.copy()
     df["dist"] = inputs.dist
@@ -204,11 +233,13 @@ def score_sed(
     by_prop["SED_PROPORTION"] = prop
     by_prop = by_prop.sort_values(by="SED_PROPORTION", ascending=False)
 
-    if out_dir is not None:
+    if out_dir is not None and (not distributed or dist.is_primary()):
         os.makedirs(out_dir, exist_ok=True)
         df.to_csv(os.path.join(out_dir, "sed.tsv"), header=True, sep="\t", index=False)
         by_mag.to_csv(os.path.join(out_dir, "sed_sorted_by_magnitude.tsv"), header=True, sep="\t", index=False)
         by_prop.to_csv(os.path.join(out_dir, "sed_sorted_by_proportion.tsv"), header=True, sep="\t", index=False)
+    if distributed:
+        dist.barrier("sed.outputs_written")
 
     return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
 
@@ -225,6 +256,7 @@ def score_sed_serving(
     fixeddist: int = 0,
     model_names: list[str] | None = None,
     output_csv: str | os.PathLike | None = None,
+    distribute: bool = True,
 ) -> pd.DataFrame:
     """End-to-end fused SED serving: VCF -> spans -> Beluga (span-amortized,
     conv shared across shifts) -> on-device decay projection -> all models in
@@ -232,20 +264,55 @@ def score_sed_serving(
 
     Replaces the reference's two-script chromatin.py -> predict.py flow with
     one device-resident pass: no per-shift h5 intermediates, only per-model
-    scalars leave the accelerator. Substitution variants only (indels take
-    the h5 path via compute_variant_chromatin_effects + score_sed).
+    scalars leave the accelerator. Handles every span-eligible variant:
+    substitutions ride the packed + incremental-patch kernels; indels ship
+    both crop-adjusted spliced spans through the pair kernel (same conv cost
+    per variant). Contig-edge variants and length changes beyond the 100 bp
+    crop slack are rejected (use the h5 path, which has the per-window
+    fallback).
+
+    Multi-process runs shard the (variant, gene) rows per host; each host
+    runs the fused kernel on its slice, the per-row model scalars are
+    exchanged exactly (parallel/dist.py::exchange_row_blocks), and the
+    primary writes ``output_csv`` — bit-identical to single-process (the
+    kernels are row-independent). Replaces merge_predict_batched.py:10-30.
     """
     from ..genome.encode import seqs_to_codes
     from ..genome.windows import variant_shifts as _shifts_fn
 
     refs = vcf.iloc[:, 3].astype(str).values
     alts = vcf.iloc[:, 4].astype(str).values
-    if not all(len(r) == len(a) for r, a in zip(refs, alts)):
-        raise ValueError("score_sed_serving handles substitution variants only")
+    # span eligibility on the FULL variant table (every host raises the same
+    # error): serving has no per-window fallback, so contig-edge variants and
+    # length changes beyond the crop slack need the h5 path
+    from .chromatin import _span_eligible
+
+    eligible = _span_eligible(
+        genome, vcf.iloc[:, 0].astype(str).values, vcf.iloc[:, 1].astype(int).values,
+        refs, alts, maxshift, inputsize,
+    )
+    if not bool(np.asarray(eligible).all()):
+        n_bad = int((~np.asarray(eligible)).sum())
+        raise ValueError(
+            f"score_sed_serving requires span-eligible variants; {n_bad} rows are not "
+            "(shift windows crossing a contig edge, or allele length change beyond the "
+            "100 bp crop slack) — score those through the h5 path "
+            "(compute_variant_chromatin_effects + score_sed)"
+        )
 
     # align (variant, gene) rows exactly like the h5 path
     dummy = {"diff": np.zeros((1, vcf.shape[0], 1), np.float32)}
     inputs = align_variants_with_genes(vcf, gene, dummy, fixeddist)
+
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    distributed = distribute and world > 1 and output_csv is not None
+    if distributed:
+        lo, hi = dist.host_row_range(inputs.coor.shape[0])
+        loc_coor, loc_dist, loc_strand = inputs.coor.iloc[lo:hi], inputs.dist[lo:hi], inputs.strand[lo:hi]
+    else:
+        loc_coor, loc_dist, loc_strand = inputs.coor, inputs.dist, inputs.strand
 
     shifts = _shifts_fn(maxshift)
     offsets = tuple(sh + maxshift for sh in shifts)
@@ -253,35 +320,13 @@ def score_sed_serving(
     half = int(inputsize / 2 - 1)
     mutpos = maxshift + half
 
-    chroms = inputs.coor.iloc[:, 0].astype(str).values
-    positions = inputs.coor.iloc[:, 1].astype(int).values
-    row_refs = inputs.coor.iloc[:, 3].astype(str).values
-    row_alts = inputs.coor.iloc[:, 4].astype(str).values
+    chroms = loc_coor.iloc[:, 0].astype(str).values
+    positions = loc_coor.iloc[:, 1].astype(int).values
+    row_refs = loc_coor.iloc[:, 3].astype(str).values
+    row_alts = loc_coor.iloc[:, 4].astype(str).values
     n = len(positions)
 
-    # the gene association repeats each variant once per associated gene;
-    # the conv stack runs once per UNIQUE variant, rows gather on device
-    keys = [f"{c}:{p}:{r}:{a}" for c, p, r, a in zip(chroms, positions, row_refs, row_alts)]
-    row_uidx = np.zeros(n, dtype=np.int64)
-    uniq_first: list[int] = []
-    seen: dict[str, int] = {}
-    for i, key in enumerate(keys):
-        if key not in seen:
-            seen[key] = len(uniq_first)
-            uniq_first.append(i)
-        row_uidx[i] = seen[key]
-    n_u = len(uniq_first)
-
-    max_len = max(len(a) for a in row_alts) if n else 1
-    ref_spans = np.empty((n_u, span_len), dtype=np.int8)
-    alt_alleles = np.full((n_u, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
-    for j, i in enumerate(uniq_first):
-        span = genome.window_codes(chroms[i], [positions[i] - maxshift - half], span_len)[0]
-        ref_spans[j] = span
-        ref_spans[j, mutpos : mutpos + len(row_refs[i])] = seqs_to_codes([row_refs[i]], len(row_refs[i]))[0]
-        alt_alleles[j, : len(row_alts[i])] = seqs_to_codes([row_alts[i]], len(row_alts[i]))[0]
-
-    basis = variant_basis(inputs.dist, inputs.strand, shifts)  # (S, n, 10)
+    basis = variant_basis(loc_dist, loc_strand, shifts)  # (S, n, 10)
 
     models = [load_expression_model(p) for p in model_paths]
     n_feats = {m.n_features for m in models}
@@ -298,16 +343,81 @@ def score_sed_serving(
         raise ValueError(f"unsupported model feature count {nf}")
     bias = np.array([m.bias + m.base_score for m in models], dtype=np.float32)
 
-    contiguous = bool(np.all(np.diff(row_uidx) >= 0)) if n else True
-    if n_u < n and contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
-        REF, ALT, SED = runner.score_variant_spans_packed_rows(
-            ref_spans, mutpos, alt_alleles, offsets, basis, row_uidx, W, bias
+    k = W.shape[1]
+    REF = np.empty((n, k), dtype=np.float32)
+    ALT = np.empty((n, k), dtype=np.float32)
+    SED = np.empty((n, k), dtype=np.float32)
+
+    row_is_sub = (
+        np.fromiter((len(r) == len(a) for r, a in zip(row_refs, row_alts)), bool, n)
+        if n else np.zeros(0, bool)
+    )
+    sub_rows = np.nonzero(row_is_sub)[0]
+    ind_rows = np.nonzero(~row_is_sub)[0]
+
+    if sub_rows.size:
+        # the gene association repeats each variant once per associated gene;
+        # the conv stack runs once per UNIQUE variant, rows gather on device.
+        # Substitutions ship one packed span + the alt allele codes (spliced
+        # on device, incremental conv patch).
+        s_chroms, s_pos = chroms[sub_rows], positions[sub_rows]
+        s_refs, s_alts = row_refs[sub_rows], row_alts[sub_rows]
+        ns = sub_rows.size
+        keys = [f"{c}:{p}:{r}:{a}" for c, p, r, a in zip(s_chroms, s_pos, s_refs, s_alts)]
+        row_uidx = np.zeros(ns, dtype=np.int64)
+        uniq_first: list[int] = []
+        seen: dict[str, int] = {}
+        for i, key in enumerate(keys):
+            if key not in seen:
+                seen[key] = len(uniq_first)
+                uniq_first.append(i)
+            row_uidx[i] = seen[key]
+        n_u = len(uniq_first)
+
+        max_len = max(len(a) for a in s_alts)
+        ref_spans = np.empty((n_u, span_len), dtype=np.int8)
+        alt_alleles = np.full((n_u, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
+        for j, i in enumerate(uniq_first):
+            span = genome.window_codes(s_chroms[i], [s_pos[i] - maxshift - half], span_len)[0]
+            ref_spans[j] = span
+            ref_spans[j, mutpos : mutpos + len(s_refs[i])] = seqs_to_codes([s_refs[i]], len(s_refs[i]))[0]
+            alt_alleles[j, : len(s_alts[i])] = seqs_to_codes([s_alts[i]], len(s_alts[i]))[0]
+
+        s_basis = np.ascontiguousarray(basis[:, sub_rows])
+        contiguous = bool(np.all(np.diff(row_uidx) >= 0))
+        if n_u < ns and contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
+            R, A, S = runner.score_variant_spans_packed_rows(
+                ref_spans, mutpos, alt_alleles, offsets, s_basis, row_uidx, W, bias
+            )
+        else:
+            # 1:1 rows (or a non-contiguous layout): expand and run per row
+            R, A, S = runner.score_variant_spans_packed(
+                ref_spans[row_uidx], mutpos, alt_alleles[row_uidx], offsets, s_basis, W, bias
+            )
+        REF[sub_rows], ALT[sub_rows], SED[sub_rows] = R, A, S
+
+    if ind_rows.size:
+        # indels: the alt span is crop-shifted relative to ref (no shared
+        # on-device splice), so both spliced spans ship explicitly and ride
+        # the pair kernel — same per-variant conv cost as substitutions
+        # (pipeline/chromatin.py::assemble_variant_spans crop arithmetic)
+        from .chromatin import assemble_variant_spans
+
+        r_spans, a_spans = assemble_variant_spans(
+            genome, chroms[ind_rows], positions[ind_rows],
+            row_refs[ind_rows], row_alts[ind_rows], maxshift, inputsize,
         )
-    else:
-        # 1:1 rows (or a non-contiguous layout): expand and run per row
-        REF, ALT, SED = runner.score_variant_spans_packed(
-            ref_spans[row_uidx], mutpos, alt_alleles[row_uidx], offsets, basis, W, bias
+        R, A, S = runner.score_variant_spans(
+            r_spans, a_spans, offsets, np.ascontiguousarray(basis[:, ind_rows]), W, bias
         )
+        REF[ind_rows], ALT[ind_rows], SED[ind_rows] = R, A, S
+
+    if distributed:
+        merged = dist.exchange_row_blocks(
+            {"REF": REF, "ALT": ALT, "SED": SED},
+            os.path.dirname(str(output_csv)) or ".", "sed_serving",
+        )
+        REF, ALT, SED = merged["REF"], merged["ALT"], merged["SED"]
 
     df = inputs.coor.copy()
     df["dist"] = inputs.dist
@@ -320,8 +430,10 @@ def score_sed_serving(
         # the device-computed difference, not ALT - REF re-derived on host
         # (which would re-introduce fp32 cancellation on small effects)
         df[name] = SED[:, j]
-    if output_csv is not None:
+    if output_csv is not None and (not distributed or dist.is_primary()):
         df.to_csv(output_csv, header=True, index=False)
+    if distributed:
+        dist.barrier("sed_serving.written")
     return df
 
 
@@ -399,15 +511,34 @@ def score_sed_multimodel(
     fixeddist: int = 0,
     output_csv: str | os.PathLike | None = None,
     model_names: list[str] | None = None,
+    distribute: bool = True,
 ) -> pd.DataFrame:
     """Original-ExPecto multi-model contract: one log-fold-change column per
     tissue model, appended to the vcf columns (README.md:25-30).
 
     All model weight vectors are stacked into one (F, n_models) matrix so the
-    entire modellist scores as a single matmul.
+    entire modellist scores as a single matmul. Multi-process runs shard the
+    rows per host and exchange the per-row model scalars exactly (see
+    :func:`score_sed`); the primary writes ``output_csv``.
     """
     inputs = align_variants_with_genes(coor, gene, effects, fixeddist)
-    feats = _project(inputs, maxshift, keep_mask, n_tracks, keys=("diff",))
+
+    from ..parallel import dist
+
+    _rank, world = dist.process_info()
+    distributed = distribute and world > 1 and output_csv is not None
+    if distributed:
+        lo, hi = dist.host_row_range(inputs.coor.shape[0])
+        local = SedInputs(
+            coor=inputs.coor.iloc[lo:hi],
+            dist=inputs.dist[lo:hi],
+            strand=inputs.strand[lo:hi],
+            genename=inputs.genename[lo:hi],
+            effects={k: v[:, lo:hi] for k, v in inputs.effects.items()},
+        )
+    else:
+        local = inputs
+    feats = _project(local, maxshift, keep_mask, n_tracks, keys=("diff",))
 
     models = [load_expression_model(p) for p in model_paths]
     n_feats = {m.n_features for m in models}
@@ -419,6 +550,10 @@ def score_sed_multimodel(
 
     # effect per reference predict.py:156-157: pred(0) - pred(diff) = -diff @ w
     sed_all = -(X_diff @ W)  # (M_rows, n_models); bias cancels in the diff
+    if distributed:
+        sed_all = dist.exchange_row_blocks(
+            {"sed": sed_all}, os.path.dirname(str(output_csv)) or ".", "sed_multimodel"
+        )["sed"]
 
     df = inputs.coor.copy()
     df["dist"] = inputs.dist
@@ -427,6 +562,8 @@ def score_sed_multimodel(
     names = model_names or [os.path.basename(p) for p in model_paths]
     for j, name in enumerate(names):
         df[name] = sed_all[:, j]
-    if output_csv is not None:
+    if output_csv is not None and (not distributed or dist.is_primary()):
         df.to_csv(output_csv, header=True, index=False)
+    if distributed:
+        dist.barrier("sed_multimodel.written")
     return df

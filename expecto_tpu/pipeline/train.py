@@ -97,10 +97,11 @@ def train_expression_model(
     In a multi-process run each host trains on its ``host_row_range`` slice
     of the training genes via the psum-reduced sharded trainer
     (models/gblinear.py::train_gblinear_sharded); weights are replicated so
-    every host computes identical metrics, and only the primary writes the
-    ``.save``/``.dump`` files. Per-round eval history is not recorded in
-    that mode (the reference effectively never early-stops — its
-    early_stopping_rounds lands where xgboost ignores it, train.py:140-146).
+    every host computes identical metrics (including the per-round eval
+    watchlist — eval sets are replicated), and only the primary writes the
+    ``.save``/``.dump`` files. Early stopping never fires either way — the
+    reference passes early_stopping_rounds where xgboost ignores it
+    (train.py:140-146) — so all ``num_round`` rounds run.
     """
     hp = params or GBLinearParams()
     X = Xreducedall
@@ -128,8 +129,14 @@ def train_expression_model(
 
     _rank, world = dist.process_info()
     if distribute and world > 1:
+        # eval sets are replicated on every host (each loads the full
+        # feature matrix), so the sharded trainer records the same per-round
+        # watchlist as the single-process path (reference train.py:146-154)
         lo, hi = dist.host_row_range(len(tr_idx))
-        model = train_gblinear_sharded(X_tr[lo:hi], y_tr[lo:hi], hp, verbose=verbose)
+        model = train_gblinear_sharded(
+            X_tr[lo:hi], y_tr[lo:hi], hp,
+            evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose,
+        )
     else:
         model = train_gblinear(
             X_tr, y_tr, hp, evals=[(X_te, y_te, "eval"), (X_tr, y_tr, "train")], verbose=verbose
@@ -366,10 +373,11 @@ def train_all_tissues(
         import h5py
 
         with h5py.File(metrics_path, "w") as f:
+            # exactly the reference key set (train_susztak.py:177-181) ...
             for key in ("pearsonr_valids", "r2_valids", "pearsonr_trains", "r2_trains"):
                 f.create_dataset(key, data=np.asarray(metrics[key]))
-            # engine extras beyond the reference key set
-            f.create_dataset("pearsonr_valid", data=np.asarray(metrics["pearsonr_valids"]))
+            # ... plus clearly-named engine extras (round 1's duplicate
+            # 'pearsonr_valid' alias was dropped in round 3)
             f.create_dataset("spearman_valid", data=np.asarray(metrics["spearman_valid"]))
             f.create_dataset("tissue", data=np.array(metrics["tissue"], dtype="S"))
     return results

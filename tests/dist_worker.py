@@ -51,13 +51,16 @@ def main() -> int:
         w_true = (np.sin(np.arange(f) / 7.0) * 0.05).astype(np.float32)
         y = (X @ w_true + 2.0).astype(np.float32)
         hp = GBLinearParams(num_round=int(cfg["num_round"]), block_size=int(cfg["block_size"]))
+        # per-round eval watchlist: eval rows replicated on every host
+        evals = [(X[:512], y[:512], "eval")] if cfg.get("evals") else None
         if cfg.get("baseline"):
-            model = train_gblinear(X, y, hp)
+            model = train_gblinear(X, y, hp, evals=evals)
         else:
             lo, hi = host_row_range(n)
-            model = train_gblinear_sharded(X[lo:hi], y[lo:hi], hp)
+            model = train_gblinear_sharded(X[lo:hi], y[lo:hi], hp, evals=evals)
         if is_primary():
-            np.savez(cfg["out"], weight=model.weight, bias=np.float64(model.bias))
+            hist = {f"hist_{k}": np.asarray(v) for k, v in model.eval_history.items()}
+            np.savez(cfg["out"], weight=model.weight, bias=np.float64(model.bias), **hist)
         return 0
 
     if mode == "features":
@@ -71,17 +74,61 @@ def main() -> int:
             "-o", cfg["out_dir"],
         ])
 
+    if mode == "score":
+        from expecto_tpu.cli.score import main as score_main
+
+        return score_main([
+            cfg["vcf"],
+            "--geneFile", cfg["geneFile"],
+            "--model_save_file", cfg["model"],
+            "--genome", cfg["genome"],
+            "--beluga_weights", cfg["weights"],
+            "--maxshift", str(cfg["maxshift"]),
+            "--batchsize", str(cfg["batchsize"]),
+            "--fp32",
+            "--output", cfg["output"],
+        ])
+
+    if mode == "predict":
+        from expecto_tpu.cli.predict import main as predict_main
+
+        return predict_main([
+            "--model_save_file", cfg["model"],
+            "--coorFile", cfg["vcf"],
+            "--geneFile", cfg["geneFile"],
+            "--snpEffectFilePattern", cfg["pattern"],
+            "--maxshift", str(cfg["maxshift"]),
+            "-o", cfg["out_dir"],
+        ])
+
+    if mode == "consensus":
+        from expecto_tpu.cli.consensus import main as consensus_main
+
+        args = [
+            "samples" if cfg["cmd"] == "samples" else "ref",
+            cfg["model"],
+            cfg["consensus_dir"],
+            cfg["genes_file"],
+            "--beluga_weights", cfg["weights"],
+            "--batch_size", str(cfg["batchsize"]),
+            "-o", cfg["out_dir"],
+        ]
+        return consensus_main(args)
+
     if mode == "train_cli":
         from expecto_tpu.cli.train import main as train_main
 
-        return train_main([
+        args = [
             "--targetIndex", "1",
             "--expFile", cfg["expFile"],
             "--inputFile", cfg["inputFile"],
             "--annoFile", cfg["annoFile"],
             "--num_round", str(cfg["num_round"]),
             "--output_dir", cfg["out_dir"],
-        ])
+        ]
+        if cfg.get("evalFile"):
+            args += ["--evalFile", cfg["evalFile"]]
+        return train_main(args)
 
     print(f"unknown worker mode {mode!r}", file=sys.stderr)
     return 2

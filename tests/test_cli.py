@@ -424,7 +424,8 @@ def test_train_cli_all_tissues(tmp_path):
     assert (tmp_path / "tissues" / "expecto_tA.save").exists()
     assert (tmp_path / "tissues" / "expecto_tB.save").exists()
     with h5py.File(tmp_path / "tissues" / "metrics.h5") as f:
-        assert f["pearsonr_valid"].shape == (2,)
+        assert "pearsonr_valid" not in f  # round-1 alias dropped (VERDICT r2 #8)
+        assert f["spearman_valid"].shape == (2,)
         assert list(f["tissue"][:]) == [b"tA", b"tB"]
         # vectorized sweep also writes the reference key set with train-side
         # metrics (train_susztak.py:177-181)

@@ -198,8 +198,16 @@ def test_train_cli_two_process_matches_single(tmp_path):
 
     cfg = {"inputFile": str(x_path), "annoFile": str(anno_path), "expFile": str(exp_path), "num_round": 20}
     single_dir, dist_dir = str(tmp_path / "single"), str(tmp_path / "dist")
-    _run_single("train_cli", {**cfg, "out_dir": single_dir}, devices=1)
-    _run_group("train_cli", [{**cfg, "out_dir": dist_dir}] * 2, devices=1)
+    _run_single("train_cli", {**cfg, "out_dir": single_dir, "evalFile": os.path.join(single_dir, "eval.csv")}, devices=1)
+    _run_group("train_cli", [{**cfg, "out_dir": dist_dir, "evalFile": os.path.join(dist_dir, "eval.csv")}] * 2, devices=1)
+
+    # --evalFile is fully populated in distributed mode too (VERDICT r2 #5):
+    # same rows, predictions equal up to psum reduction-order noise
+    e1 = pd.read_csv(os.path.join(single_dir, "eval.csv"))
+    e2 = pd.read_csv(os.path.join(dist_dir, "eval.csv"))
+    assert e1.shape == e2.shape and e1.shape[0] > 0
+    np.testing.assert_array_equal(e1["target"].values, e2["target"].values)
+    np.testing.assert_allclose(e1["pred"].values, e2["pred"].values, atol=1e-4)
 
     def _model(d):
         saves = [p for p in os.listdir(d) if p.endswith(".save")]
@@ -211,12 +219,155 @@ def test_train_cli_two_process_matches_single(tmp_path):
     assert abs(m1.bias - m2.bias) < 1e-6
 
 
+def _write_score_fixture(tmp_path, contigs):
+    """VCF + closest-gene file + a gblinear .save for the serving CLIs."""
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+
+    comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+    vcf_rows, gene_rows = [], []
+    for gi, pos in enumerate([5000, 9000, 13000, 21000, 30000]):
+        ref = contigs["chr1"][pos - 1]
+        alt = comp[ref]
+        vcf_rows.append(f"chr1\t{pos}\t.\t{ref}\t{alt}")
+        gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 8999, 9000, "+", f"G{gi}", 9000 - pos])
+        if gi == 2:  # one variant with a second associated gene (repeat expansion)
+            gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 18999, 19000, "-", "G2b", 19000 - pos])
+    vcf = tmp_path / "in.vcf"
+    vcf.write_text("\n".join(vcf_rows) + "\n")
+    gene_path = tmp_path / "genes.tsv"
+    with open(gene_path, "w") as f:
+        for row in gene_rows:
+            f.write("\t".join(str(x) for x in row) + "\n")
+
+    rng = np.random.default_rng(7)
+    model_path = tmp_path / "m.save"
+    save_xgb07_binary(
+        GBLinearModel(weight=(rng.normal(size=20020) * 0.01).astype(np.float32), bias=0.1, base_score=2.0),
+        model_path,
+    )
+    return str(vcf), str(gene_path), str(model_path)
+
+
+def test_score_cli_two_process_matches_single(tmp_path, weights_npz, genome_fixture):
+    """expecto-score (fused VCF -> output.csv serving) across 2 hosts:
+    (variant, gene) rows shard per host, per-row model scalars are exchanged
+    exactly, the primary writes output.csv — bit-identical to 1 process
+    (VERDICT r2 #3; replaces merge_predict_batched.py)."""
+    gpath, contigs = genome_fixture
+    vcf, gene_path, model_path = _write_score_fixture(tmp_path, contigs)
+
+    base = {"vcf": vcf, "geneFile": gene_path, "model": model_path, "genome": gpath,
+            "weights": weights_npz, "maxshift": 200, "batchsize": 64}
+    single_csv = str(tmp_path / "single" / "output.csv")
+    dist_csv = str(tmp_path / "dist" / "output.csv")
+    os.makedirs(os.path.dirname(single_csv))
+    os.makedirs(os.path.dirname(dist_csv))
+    _run_single("score", {**base, "output": single_csv})
+    _run_group("score", [{**base, "output": dist_csv}] * 2)
+
+    with open(single_csv) as f1, open(dist_csv) as f2:
+        a, b = f1.read(), f2.read()
+    assert a == b  # byte-identical CSV
+    assert len(a.splitlines()) == 7  # header + 6 (variant, gene) rows
+    assert not [f for f in os.listdir(os.path.dirname(dist_csv)) if "exchange" in f], "exchange shards not cleaned"
+
+
+def test_predict_cli_two_process_matches_single(tmp_path, weights_npz, genome_fixture):
+    """expecto-predict (per-shift h5 -> sed.tsv) across 2 hosts must write
+    bit-identical sed.tsv + sorted outputs to the 1-process run
+    (VERDICT r2 #3)."""
+    gpath, contigs = genome_fixture
+    vcf, gene_path, model_path = _write_score_fixture(tmp_path, contigs)
+
+    # generate the per-shift h5 inputs once (single process)
+    h5_dir = str(tmp_path / "h5")
+    _run_single("chromatin", {"vcf": vcf, "genome": gpath, "weights": weights_npz,
+                              "maxshift": 200, "batchsize": 64, "out_dir": h5_dir})
+    pattern = os.path.join(h5_dir, "snps.shift_SHIFT.diff.h5")
+
+    base = {"vcf": vcf, "geneFile": gene_path, "model": model_path,
+            "pattern": pattern, "maxshift": 200}
+    single_dir, dist_dir = str(tmp_path / "p_single"), str(tmp_path / "p_dist")
+    _run_single("predict", {**base, "out_dir": single_dir})
+    _run_group("predict", [{**base, "out_dir": dist_dir}] * 2)
+
+    for name in ("sed.tsv", "sed_sorted_by_magnitude.tsv", "sed_sorted_by_proportion.tsv"):
+        with open(os.path.join(single_dir, name)) as f1, open(os.path.join(dist_dir, name)) as f2:
+            assert f1.read() == f2.read(), name
+    assert not [f for f in os.listdir(dist_dir) if "exchange" in f], "exchange shards not cleaned"
+
+
+def test_consensus_cli_two_process_matches_single(tmp_path, weights_npz):
+    """expecto-consensus across 2 hosts (VERDICT r2 #4): the per-sample path
+    shards genes per host (per-gene h5 outputs, no merge), the ref-genes path
+    merges shard CSVs — both must reproduce the 1-process outputs
+    bit-for-bit. Contract being replaced:
+    merge_geuvadis_predict_consensus.py:12-53."""
+    import pandas as pd
+
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+    from expecto_tpu.pipeline.consensus import ENFORMER_SEQ_LENGTH
+
+    rng = np.random.default_rng(21)
+    bases = np.array(list("ACGT"))
+    cdir = tmp_path / "consensus"
+    rows = []
+    for gi, (gene, strand) in enumerate([("genea", "+"), ("geneb", "-"), ("genec", "+")]):
+        start = 1000 + gi * 500000
+        rec_id = f"chr1:{start}-{start + ENFORMER_SEQ_LENGTH - 1}"
+        os.makedirs(cdir / gene / "samples")
+        for sample in ["NA1", "NA2"]:
+            seq = "".join(bases[rng.integers(0, 4, ENFORMER_SEQ_LENGTH)])
+            with open(cdir / gene / "samples" / f"{sample}|-|1pIu.fa", "w") as f:
+                f.write(f">{rec_id}\n{seq}\n")
+        with open(cdir / gene / "ref.fa", "w") as f:
+            f.write(f">{rec_id}\n" + "".join(bases[rng.integers(0, 4, ENFORMER_SEQ_LENGTH)]) + "\n")
+        rows.append([f"ENSG{gi:011d}", "chr1", start + ENFORMER_SEQ_LENGTH // 2, gene.upper(), strand])
+    genes_file = tmp_path / "genes.csv"
+    pd.DataFrame(rows).to_csv(genes_file, header=False, index=False)
+    model_path = tmp_path / "cm.save"
+    save_xgb07_binary(
+        GBLinearModel(weight=(np.random.default_rng(1).normal(size=20030) * 0.001).astype(np.float32),
+                      bias=0.1, base_score=2.0),
+        model_path,
+    )
+
+    base = {"model": str(model_path), "consensus_dir": str(cdir), "genes_file": str(genes_file),
+            "weights": weights_npz, "batchsize": 800}
+
+    # C19 ref-genes: shard CSVs merged by the primary
+    rs_dir, rd_dir = str(tmp_path / "ref_single"), str(tmp_path / "ref_dist")
+    _run_single("consensus", {**base, "cmd": "ref", "out_dir": rs_dir}, timeout=1800)
+    _run_group("consensus", [{**base, "cmd": "ref", "out_dir": rd_dir}] * 2, timeout=1800)
+    with open(os.path.join(rs_dir, "ref_preds.csv")) as f1, open(os.path.join(rd_dir, "ref_preds.csv")) as f2:
+        a, b = f1.read(), f2.read()
+    assert a == b and len(a.splitlines()) == 4  # header + 3 genes
+    assert not [f for f in os.listdir(rd_dir) if "shard" in f], "shards not cleaned"
+
+    # C18 per-sample: gene-sharded per host; per-gene h5 sets must agree
+    ss_dir, sd_dir = str(tmp_path / "s_single"), str(tmp_path / "s_dist")
+    _run_single("consensus", {**base, "cmd": "samples", "out_dir": ss_dir}, timeout=1800)
+    _run_group("consensus", [{**base, "cmd": "samples", "out_dir": sd_dir}] * 2, timeout=1800)
+    singles = sorted(os.listdir(ss_dir))
+    assert sorted(os.listdir(sd_dir)) == singles and len(singles) == 6  # {gene}.h5 + {gene}_chromatin.h5
+    for name in singles:
+        with h5py.File(os.path.join(ss_dir, name)) as f1, h5py.File(os.path.join(sd_dir, name)) as f2:
+            assert sorted(f1.keys()) == sorted(f2.keys())
+            for key in f1:
+                if f1[key].dtype.kind in "fiu":
+                    np.testing.assert_array_equal(np.asarray(f1[key]), np.asarray(f2[key]), err_msg=f"{name}/{key}")
+                else:
+                    assert list(f1[key][...]) == list(f2[key][...]), f"{name}/{key}"
+
+
 def test_gblinear_two_process_real_shape(tmp_path):
     """Row-sharded training across a real 2-process group at the production
     feature width (18k genes x 20,020 features): psum-reduced gradient sums
     must reproduce the single-process trainer's weights (equal up to
     cross-process reduction order, ~1e-6 absolute)."""
-    cfg = {"n": 18000, "f": 20020, "seed": 3, "num_round": 4, "block_size": 2048}
+    cfg = {"n": 18000, "f": 20020, "seed": 3, "num_round": 4, "block_size": 2048, "evals": True}
     base_out = str(tmp_path / "base.npz")
     dist_out = str(tmp_path / "dist.npz")
     _run_single("train", {**cfg, "baseline": True, "out": base_out}, devices=1)
@@ -229,3 +380,8 @@ def test_gblinear_two_process_real_shape(tmp_path):
     assert dw < 1e-5 and db < 1e-6, (dw, db)
     # the fit is real, not degenerate
     assert np.abs(ref["weight"]).max() > 1e-4
+    # per-round eval watchlist recorded by the sharded trainer matches the
+    # single-process one round-for-round (VERDICT r2 #5; reference
+    # train.py:146-154 prints this every round)
+    assert ref["hist_eval"].shape == got["hist_eval"].shape == (4,)
+    np.testing.assert_allclose(got["hist_eval"], ref["hist_eval"], atol=1e-5)

@@ -188,6 +188,81 @@ class TestServing:
         np.testing.assert_allclose(serving[f"REF_{name}"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4)
 
 
+class TestServingIndels:
+    def test_serving_scores_indels_via_pair_kernel(self, tiny_genome, params):
+        """The fused serving path now accepts indels: both crop-adjusted
+        spans ship through the pair kernel; results match the h5 path
+        (chromatin auto -> score_sed) per row (VERDICT r2 follow-on to #1)."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.models.gblinear import GBLinearModel
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+        from expecto_tpu.pipeline.sed import score_sed, score_sed_serving
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        rows, gene_rows = [], []
+        specs = [(7000, 0), (15000, +2), (24000, -3)]  # sub, insertion, deletion
+        for pos, d_len in specs:
+            if d_len == 0:
+                ref = c1[pos - 1]
+                alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
+            elif d_len > 0:
+                ref = c1[pos - 1]
+                alt = ref + "AC"[:d_len]
+            else:
+                ref = c1[pos - 1 : pos - d_len]
+                alt = c1[pos - 1]
+            rows.append(["chr1", pos, ".", ref, alt])
+            gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 8999, 9000, "+", "G1", 9000 - pos])
+        vcf = pd.DataFrame(rows)
+        gene = pd.DataFrame(gene_rows)
+
+        rng = np.random.default_rng(4)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.05, bias=0.2, base_score=2.0)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        with tempfile.TemporaryDirectory() as td:
+            save_xgb07_binary(model, os.path.join(td, "m.save"))
+            res = compute_variant_chromatin_effects(
+                vcf, fa, runner, None, maxshift=400, keep_arrays=True, verbose=False
+            )
+            effects = {
+                k: np.stack([res.arrays[s][i] for s in res.shifts], axis=0)
+                for i, k in [(1, "ref"), (2, "alt")]
+            }
+            effects = {k: (v[:, :3] + v[:, 3:]) / 2 for k, v in effects.items()}
+            h5_res = score_sed(effects, vcf, gene, model, maxshift=400)
+            serving = score_sed_serving(
+                vcf, gene, fa, runner, [os.path.join(td, "m.save")], maxshift=400
+            )
+        np.testing.assert_allclose(
+            serving["m.save"].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            serving["REF_m.save"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4
+        )
+
+    def test_serving_rejects_ineligible_variants(self, tiny_genome, params):
+        import pandas as pd
+
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.sed import score_sed_serving
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        vcf = pd.DataFrame([["chr1", 10000, ".", c1[9999 : 9999 + 151], c1[9999]]])  # -150 bp
+        gene = pd.DataFrame([["1", 9999, 10000, vcf.iloc[0, 3], vcf.iloc[0, 4], "1", 8999, 9000, "+", "G1", -1000]])
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+        with pytest.raises(ValueError, match="span-eligible"):
+            score_sed_serving(vcf, gene, fa, runner, ["unused.save"], maxshift=400)
+
+
 class TestIncrementalPatch:
     def test_patched_phases_equal_full_forward(self, params):
         """conv6 patch of a single-base substitution == full alt forward."""
