@@ -395,7 +395,10 @@ def train_gblinear_multi_sharded(
     host — one (n_eval, F) matvec per set; ``y_eval`` may be (n_e,) or
     (n_e, K). Recorded in ``eval_history`` (and printed when verbose).
     """
-    import jax.experimental.shard_map as _shard_map
+    try:
+        from jax import shard_map as _shard_map_fn  # jax >= 0.8
+    except ImportError:  # older jax: experimental namespace
+        from jax.experimental.shard_map import shard_map as _shard_map_fn
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     hp = params or GBLinearParams()
@@ -476,7 +479,7 @@ def train_gblinear_multi_sharded(
 
     round_fn = _multi_round_body(hp, axis_name="data")
     sharded_round = jax.jit(
-        _shard_map.shard_map(
+        _shard_map_fn(
             round_fn,
             mesh=mesh,
             in_specs=(P(), P(), P("data", None), P("data", None), P(), P(None, None, "data"), P()),

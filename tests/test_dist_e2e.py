@@ -301,8 +301,14 @@ def test_predict_cli_two_process_matches_single(tmp_path, weights_npz, genome_fi
 def test_consensus_cli_two_process_matches_single(tmp_path, weights_npz):
     """expecto-consensus across 2 hosts (VERDICT r2 #4): the per-sample path
     shards genes per host (per-gene h5 outputs, no merge), the ref-genes path
-    merges shard CSVs — both must reproduce the 1-process outputs
-    bit-for-bit. Contract being replaced:
+    merges shard CSVs — both must reproduce the 1-process outputs: same file
+    sets, same record ids, values within a few fp32 ulps. (Exact bit-parity
+    across SEPARATE process invocations is not guaranteed for device
+    outputs: XLA may serve one run from the compile cache and compile the
+    other fresh with different instruction selection — observed as ~1e-6
+    relative divergence on this machine. Within one coordinated group each
+    row is computed exactly once, so the file-mechanics bit-parity claims
+    live in the chromatin/features/score cases.) Contract being replaced:
     merge_geuvadis_predict_consensus.py:12-53."""
     import pandas as pd
 
@@ -341,9 +347,10 @@ def test_consensus_cli_two_process_matches_single(tmp_path, weights_npz):
     rs_dir, rd_dir = str(tmp_path / "ref_single"), str(tmp_path / "ref_dist")
     _run_single("consensus", {**base, "cmd": "ref", "out_dir": rs_dir}, timeout=1800)
     _run_group("consensus", [{**base, "cmd": "ref", "out_dir": rd_dir}] * 2, timeout=1800)
-    with open(os.path.join(rs_dir, "ref_preds.csv")) as f1, open(os.path.join(rd_dir, "ref_preds.csv")) as f2:
-        a, b = f1.read(), f2.read()
-    assert a == b and len(a.splitlines()) == 4  # header + 3 genes
+    r1 = pd.read_csv(os.path.join(rs_dir, "ref_preds.csv"))
+    r2 = pd.read_csv(os.path.join(rd_dir, "ref_preds.csv"))
+    assert list(r1["genes"]) == list(r2["genes"]) and r1.shape[0] == 3
+    np.testing.assert_allclose(r2["ref_preds"].values, r1["ref_preds"].values, atol=1e-4, rtol=1e-5)
     assert not [f for f in os.listdir(rd_dir) if "shard" in f], "shards not cleaned"
 
     # C18 per-sample: gene-sharded per host; per-gene h5 sets must agree
@@ -351,15 +358,20 @@ def test_consensus_cli_two_process_matches_single(tmp_path, weights_npz):
     _run_single("consensus", {**base, "cmd": "samples", "out_dir": ss_dir}, timeout=1800)
     _run_group("consensus", [{**base, "cmd": "samples", "out_dir": sd_dir}] * 2, timeout=1800)
     singles = sorted(os.listdir(ss_dir))
-    assert sorted(os.listdir(sd_dir)) == singles and len(singles) == 6  # {gene}.h5 + {gene}_chromatin.h5
-    for name in singles:
-        with h5py.File(os.path.join(ss_dir, name)) as f1, h5py.File(os.path.join(sd_dir, name)) as f2:
-            assert sorted(f1.keys()) == sorted(f2.keys())
-            for key in f1:
-                if f1[key].dtype.kind in "fiu":
-                    np.testing.assert_array_equal(np.asarray(f1[key]), np.asarray(f2[key]), err_msg=f"{name}/{key}")
-                else:
-                    assert list(f1[key][...]) == list(f2[key][...]), f"{name}/{key}"
+    assert sorted(os.listdir(sd_dir)) == singles and len(singles) == 3  # one dir per gene
+    for g in singles:
+        for name in (f"{g}.h5", f"{g}_chromatin.h5"):
+            with h5py.File(os.path.join(ss_dir, g, name)) as f1, \
+                    h5py.File(os.path.join(sd_dir, g, name)) as f2:
+                assert sorted(f1.keys()) == sorted(f2.keys())
+                for key in f1:
+                    if f1[key].dtype.kind == "f":
+                        np.testing.assert_allclose(
+                            np.asarray(f2[key]), np.asarray(f1[key]), atol=1e-4, rtol=1e-5,
+                            err_msg=f"{g}/{name}/{key}",
+                        )
+                    else:  # record ids / shapes: exact
+                        assert list(f1[key][...]) == list(f2[key][...]), f"{g}/{name}/{key}"
 
 
 def test_gblinear_two_process_real_shape(tmp_path):
