@@ -277,7 +277,7 @@ def score_sed_serving(
     primary writes ``output_csv`` — bit-identical to single-process (the
     kernels are row-independent). Replaces merge_predict_batched.py:10-30.
     """
-    from ..genome.encode import seqs_to_codes
+    from ..genome.encode import alleles_to_flat_codes
     from ..genome.windows import variant_shifts as _shifts_fn
 
     refs = vcf.iloc[:, 3].astype(str).values
@@ -285,7 +285,7 @@ def score_sed_serving(
     # span eligibility on the FULL variant table (every host raises the same
     # error): serving has no per-window fallback, so contig-edge variants and
     # length changes beyond the crop slack need the h5 path
-    from .chromatin import _span_eligible
+    from .chromatin import _gather_spans, _scatter_alleles, _span_eligible
 
     eligible = _span_eligible(
         genome, vcf.iloc[:, 0].astype(str).values, vcf.iloc[:, 1].astype(int).values,
@@ -363,25 +363,25 @@ def score_sed_serving(
         s_chroms, s_pos = chroms[sub_rows], positions[sub_rows]
         s_refs, s_alts = row_refs[sub_rows], row_alts[sub_rows]
         ns = sub_rows.size
-        keys = [f"{c}:{p}:{r}:{a}" for c, p, r, a in zip(s_chroms, s_pos, s_refs, s_alts)]
-        row_uidx = np.zeros(ns, dtype=np.int64)
-        uniq_first: list[int] = []
-        seen: dict[str, int] = {}
-        for i, key in enumerate(keys):
-            if key not in seen:
-                seen[key] = len(uniq_first)
-                uniq_first.append(i)
-            row_uidx[i] = seen[key]
-        n_u = len(uniq_first)
+        # factorize (chrom, pos, ref, alt) in first-occurrence order — the
+        # same enumeration a seen-dict would produce, in vectorized C
+        row_uidx, _levels = pd.MultiIndex.from_arrays([s_chroms, s_pos, s_refs, s_alts]).factorize()
+        row_uidx = row_uidx.astype(np.int64)
+        n_u = int(row_uidx.max()) + 1 if ns else 0
+        uniq_first = np.empty(n_u, dtype=np.int64)
+        uniq_first[row_uidx[::-1]] = np.arange(ns - 1, -1, -1)  # duplicate writes keep the FIRST occurrence
 
-        max_len = max(len(a) for a in s_alts)
-        ref_spans = np.empty((n_u, span_len), dtype=np.int8)
+        # host span assembly, fully vectorized (one genome gather per
+        # chromosome + one allele scatter — no per-variant Python loop,
+        # mirroring chromatin.assemble_variant_spans)
+        u_rows = np.arange(n_u)
+        ref_spans = _gather_spans(genome, s_chroms[uniq_first], s_pos[uniq_first] - maxshift - half, span_len)
+        ref_codes, ref_lens = alleles_to_flat_codes(s_refs[uniq_first])
+        _scatter_alleles(ref_spans, u_rows, ref_codes, ref_lens, np.full(n_u, mutpos))
+        alt_codes, alt_lens = alleles_to_flat_codes(s_alts[uniq_first])
+        max_len = int(alt_lens.max())
         alt_alleles = np.full((n_u, max_len), -1, dtype=np.int8)  # -1 keeps the ref base
-        for j, i in enumerate(uniq_first):
-            span = genome.window_codes(s_chroms[i], [s_pos[i] - maxshift - half], span_len)[0]
-            ref_spans[j] = span
-            ref_spans[j, mutpos : mutpos + len(s_refs[i])] = seqs_to_codes([s_refs[i]], len(s_refs[i]))[0]
-            alt_alleles[j, : len(s_alts[i])] = seqs_to_codes([s_alts[i]], len(s_alts[i]))[0]
+        _scatter_alleles(alt_alleles, u_rows, alt_codes, alt_lens, np.zeros(n_u, np.int64))
 
         s_basis = np.ascontiguousarray(basis[:, sub_rows])
         contiguous = bool(np.all(np.diff(row_uidx) >= 0))

@@ -187,6 +187,62 @@ class TestServing:
         np.testing.assert_allclose(serving[name].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5)
         np.testing.assert_allclose(serving[f"REF_{name}"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4)
 
+    def test_serving_dedups_repeated_variant_rows(self, tiny_genome, params):
+        """Multiple genes per variant repeat the (variant, gene) rows; the
+        conv stack must run once per UNIQUE variant (score_variant_spans_
+        packed_rows gather) and still match the h5 path row-for-row."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.models.gblinear import GBLinearModel
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+        from expecto_tpu.pipeline.sed import score_sed, score_sed_serving
+
+        fa, contigs = tiny_genome
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rows, gene_rows = [], []
+        # two variants, the first associated with THREE genes, the second with two
+        for pos, genes in [(7000, ("G1", "G2", "G3")), (24000, ("G4", "G5"))]:
+            ref = contigs["chr1"][pos - 1]
+            rows.append(["chr1", pos, ".", ref, comp[ref]])
+            for gi, gname in enumerate(genes):
+                tss = 9000 + 4000 * gi
+                gene_rows.append(
+                    ["1", pos - 1, pos, ref, comp[ref], "1", tss - 1, tss, "+", gname, tss - pos]
+                )
+        vcf = pd.DataFrame(rows)
+        gene = pd.DataFrame(gene_rows)
+
+        rng = np.random.default_rng(4)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.05, bias=0.2, base_score=2.0)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        with tempfile.TemporaryDirectory() as td:
+            save_xgb07_binary(model, os.path.join(td, "m.save"))
+            res = compute_variant_chromatin_effects(
+                vcf, fa, runner, None, maxshift=400, keep_arrays=True, verbose=False
+            )
+            effects = {
+                k: np.stack([res.arrays[s][i] for s in res.shifts], axis=0)
+                for i, k in [(1, "ref"), (2, "alt")]
+            }
+            effects = {k: (v[:, :2] + v[:, 2:]) / 2 for k, v in effects.items()}
+            h5_res = score_sed(effects, vcf, gene, model, maxshift=400)
+            serving = score_sed_serving(
+                vcf, gene, fa, runner, [os.path.join(td, "m.save")], maxshift=400
+            )
+        assert len(serving) == 5  # one row per (variant, gene) pair
+        np.testing.assert_allclose(
+            serving["m.save"].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            serving["REF_m.save"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4
+        )
+
 
 class TestServingIndels:
     def test_serving_scores_indels_via_pair_kernel(self, tiny_genome, params):
