@@ -241,6 +241,20 @@ class BelugaRunner:
 
         self._score_spans = _score_spans
 
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
+        def _score_spans_pair_packed2(params, packed, n_rows, n_cols, basis, W, bias, offsets, span_len):
+            # Transfer-optimized pair serving (indels: the alt span is
+            # crop-shifted, so no on-device splice applies): BOTH spans ship
+            # 2-bit packed, interleaved [ref_i, alt_i] per variant — 4x less
+            # wire than the unpacked pair path. Unpack once, deinterleave
+            # with a local reshape (pairs never straddle device shards), and
+            # reuse the fused pair kernel unchanged (bit-identical results).
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)  # (2R, L)
+            pair = codes.reshape(-1, 2, codes.shape[1])
+            return _score_spans(params, pair[:, 0], pair[:, 1], basis, W, bias, offsets)
+
+        self._score_spans_pair_packed2 = _score_spans_pair_packed2
+
         def _preds_from_ref(params, ref, alt_allele, offsets, span_len, mutpos):
             # Transfer-optimized + incremental serving core: one packed span
             # per variant; the alt span is spliced on device (alt_allele:
@@ -519,11 +533,15 @@ class BelugaRunner:
         SED carries the device-computed ALT - REF exactly (fp32 before the
         fetch cast), so small effects never suffer host-side cancellation.
         Only per-model scalars leave the device (~3 KB/variant for the full
-        218-tissue modellist vs ~144 KB of track outputs)."""
+        218-tissue modellist vs ~144 KB of track outputs).
+
+        Both spans ship 2-bit packed (interleaved per variant) when the
+        batch's N density fits the sparse sideband — 4x less host->device
+        wire; pathologically N-dense batches fall back to unpacked int8."""
         ref_spans = np.asarray(ref_spans, dtype=np.int8)
         alt_spans = np.asarray(alt_spans, dtype=np.int8)
         offsets = tuple(int(o) for o in offsets)
-        n = ref_spans.shape[0]
+        n, span_len = ref_spans.shape
         k = W.shape[1]
         rows = self._span_rows(len(offsets))
         W_dev = jnp.asarray(W, dtype=jnp.float32)
@@ -533,23 +551,45 @@ class BelugaRunner:
         SED = np.empty((n, k), dtype=np.float32)
         basis_wire = basis.astype(self._basis_wire_dtype, copy=False)
 
+        inter = np.empty((2 * n, span_len), dtype=np.int8)
+        inter[0::2] = ref_spans
+        inter[1::2] = alt_spans
+        plan = self._pack2_plan(inter, 2 * rows)
+
+        def _basis_chunk(start, real):
+            return np.pad(basis_wire[:, start : start + real], ((0, 0), (0, rows - real), (0, 0)))
+
         def jobs():
-            for start in range(0, n, rows):
-                end = min(start + rows, n)
-                real = end - start
-                pad = rows - real
-                r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
-                a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
-                b_chunk = np.pad(basis_wire[:, start:end], ((0, 0), (0, pad), (0, 0)))
-                yield start, real, self._score_spans(
-                    self.params,
-                    jax.device_put(r_chunk, self._batch_sharding),
-                    jax.device_put(a_chunk, self._batch_sharding),
-                    jnp.asarray(b_chunk),
-                    W_dev,
-                    bias_dev,
-                    offsets,
-                )
+            if plan is not None:
+                for start2, real2, p_chunk, r_local, c_local in self._pack2_chunks(plan, 2 * rows, 2 * n):
+                    start, real = start2 // 2, real2 // 2
+                    yield start, real, self._score_spans_pair_packed2(
+                        self.params,
+                        jax.device_put(p_chunk, self._batch_sharding),
+                        jnp.asarray(r_local),
+                        jnp.asarray(c_local),
+                        jnp.asarray(_basis_chunk(start, real)),
+                        W_dev,
+                        bias_dev,
+                        offsets,
+                        span_len,
+                    )
+            else:
+                for start in range(0, n, rows):
+                    end = min(start + rows, n)
+                    real = end - start
+                    pad = rows - real
+                    r_chunk = np.pad(ref_spans[start:end], ((0, pad), (0, 0)))
+                    a_chunk = np.pad(alt_spans[start:end], ((0, pad), (0, 0)))
+                    yield start, real, self._score_spans(
+                        self.params,
+                        jax.device_put(r_chunk, self._batch_sharding),
+                        jax.device_put(a_chunk, self._batch_sharding),
+                        jnp.asarray(_basis_chunk(start, real)),
+                        W_dev,
+                        bias_dev,
+                        offsets,
+                    )
 
         self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))
         return REF, ALT, SED

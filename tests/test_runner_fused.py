@@ -209,6 +209,37 @@ def test_predict_span_codes_pack2_equals_fallback(params, monkeypatch):
     np.testing.assert_allclose(got2, got_raw, rtol=1e-6, atol=1e-6)
 
 
+def test_score_spans_pair_packed_equals_unpacked(params, monkeypatch):
+    """The pair (indel) serving path ships both spans 2-bit packed
+    interleaved; results must equal the unpacked pair fallback exactly
+    (same kernel after unpack), Ns included."""
+    from expecto_tpu.parallel.runner import BelugaRunner
+    from expecto_tpu.ops.decay import variant_basis
+    from expecto_tpu.genome.windows import variant_shifts
+
+    maxshift = 400
+    shifts = variant_shifts(maxshift)
+    offsets = tuple(s + maxshift for s in shifts)
+    span_len = 2 * maxshift + 2000
+    rng = np.random.default_rng(15)
+    n = 5
+    ref_spans = rng.integers(0, 4, size=(n, span_len), dtype=np.int8)
+    ref_spans[rng.random(ref_spans.shape) < 0.01] = 4
+    alt_spans = np.roll(ref_spans, 2, axis=1)  # crop-shifted alt (indel shape)
+
+    basis = variant_basis(rng.integers(-5000, 5000, n), rng.choice(["+", "-"], n), shifts).astype(np.float32)
+    W = rng.standard_normal((20020, 4)).astype(np.float32) * 0.01
+    bias = rng.standard_normal(4).astype(np.float32)
+
+    runner = BelugaRunner(params, batch_size=64)
+    REFp, ALTp, SEDp = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    monkeypatch.setattr(BelugaRunner, "PACK2_SIDE_BUDGET", -1)  # force unpacked fallback
+    REFu, ALTu, SEDu = runner.score_variant_spans(ref_spans, alt_spans, offsets, basis, W, bias)
+    np.testing.assert_allclose(REFp, REFu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(ALTp, ALTu, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(SEDp, SEDu, rtol=1e-6, atol=1e-6)
+
+
 def test_score_spans_packed_rows_matches_expanded(params):
     # variant-gene expanded serving: conv once per unique span + on-device
     # gather must equal running the per-row kernel on expanded inputs
