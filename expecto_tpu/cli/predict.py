@@ -49,11 +49,14 @@ def main(argv=None) -> int:
     from ..pipeline.sed import load_shift_effects, score_sed, score_sed_multimodel
     from ..utils.keep_mask import get_keep_mask
 
+    # parse argv BEFORE joining the process group so --help / a typo'd flag
+    # exits via argparse instead of blocking on the coordinator (score.py
+    # orders the same way)
+    args = build_parser().parse_args(argv)
+
     # multi-host: join the process group before first backend use; scoring
     # rows then shard per host (replaces merge_predict_batched.py:10-30)
     maybe_initialize_distributed()
-
-    args = build_parser().parse_args(argv)
 
     keep_mask = None
     if args.intersect_with_lambert and not (

@@ -218,6 +218,11 @@ def merge_sharded_csv(path: str, out_path: str | None = None, delete_shards: boo
     return out_path
 
 
+#: per-process exchange counter; all processes issue exchanges in the same
+#: program order, so the stamped sequence numbers agree across hosts
+_EXCHANGE_SEQ = 0
+
+
 def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -> dict[str, np.ndarray]:
     """Share per-host contiguous row blocks through the filesystem: each host
     writes its block (the ``host_row_range`` slice, in global row order) as
@@ -227,12 +232,21 @@ def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -
     row-independent kernels. Single-process: returns ``arrays`` unchanged.
 
     Replaces the reference's chunk-CSV + merge_predict_batched.py:10-30
-    scale-out for the serving/scoring paths."""
+    scale-out for the serving/scoring paths.
+
+    Repeated exchanges with the same (tmp_dir, tag) are safe: every call
+    stamps a per-process sequence number into the shard filenames, so a
+    second call's writes can never race the primary's deletion of the
+    first call's shards (all processes issue exchanges in the same program
+    order, so the counters agree across hosts)."""
     rank, world = process_info()
     if world == 1:
         return arrays
     os.makedirs(tmp_dir, exist_ok=True)
-    path = os.path.join(tmp_dir, f".exchange_{tag}.npz")
+    global _EXCHANGE_SEQ
+    seq = _EXCHANGE_SEQ
+    _EXCHANGE_SEQ += 1
+    path = os.path.join(tmp_dir, f".exchange_{tag}.{seq:04d}.npz")
     np.savez(shard_path(path), **arrays)
     barrier(f"exchange.{tag}.written")
     shards = list_shards(path)

@@ -212,6 +212,16 @@ class BelugaRunner:
 
         self._forward_spans_project_packed2 = _forward_spans_project_packed2
 
+        def _pair_span_preds(params, spans, offsets):
+            # fwd/RC-averaged (N, S, M) track predictions of one span batch;
+            # shared by the pair kernels below
+            x = onehot_from_codes(spans, dtype=compute_dtype)
+            y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+            extra = spans.shape[1] - 2000
+            rc_off = tuple(extra - o for o in offsets)
+            y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_off, precision=precision).astype(jnp.float32)
+            return (y + y_rc) * 0.5
+
         @functools.partial(jax.jit, static_argnames=("offsets",))
         def _score_spans(params, ref_spans, alt_spans, basis, W, bias, offsets):
             # Fully fused SED serving: spans -> shared-conv windows -> fwd/RC
@@ -219,20 +229,12 @@ class BelugaRunner:
             # models in one matmul. Ships only per-model scalars off device.
             #   basis: (S, N, B) floored decay basis (variant path)
             #   W: (B*M, K) stacked model weights; bias: (K,) incl base_score
-            def preds_of(spans):
-                x = onehot_from_codes(spans, dtype=compute_dtype)
-                y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
-                extra = spans.shape[1] - 2000
-                rc_off = tuple(extra - o for o in offsets)
-                y_rc = beluga_forward_spans(params, x[:, ::-1, ::-1], rc_off, precision=precision).astype(jnp.float32)
-                return (y + y_rc) * 0.5  # (N, S, M)
-
             def feats(p):
                 f = jnp.einsum("snb,nsm->nbm", basis.astype(jnp.float32), p, precision=precision)
                 return f.reshape(p.shape[0], -1)
 
-            REF = jnp.dot(feats(preds_of(ref_spans)), W, precision=precision) + bias
-            ALT = jnp.dot(feats(preds_of(alt_spans)), W, precision=precision) + bias
+            REF = jnp.dot(feats(_pair_span_preds(params, ref_spans, offsets)), W, precision=precision) + bias
+            ALT = jnp.dot(feats(_pair_span_preds(params, alt_spans, offsets)), W, precision=precision) + bias
             # wire format: (REF, SED) at out_dtype. SED = ALT - REF computed
             # in fp32 on device keeps its RELATIVE precision through an fp16
             # fetch; rounding REF and ALT separately would put ~1e-3 absolute
@@ -240,6 +242,30 @@ class BelugaRunner:
             return REF.astype(jnp_out), (ALT - REF).astype(jnp_out)
 
         self._score_spans = _score_spans
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
+        def _score_spans_pair_packed2_rows(
+            params, packed, n_rows, n_cols, basis_rows, row_uidx, W, bias, offsets, span_len
+        ):
+            # Pair kernel over (variant, gene)-expanded rows sharing variants
+            # (indels associated with several genes): the TWO conv stacks run
+            # once per UNIQUE variant; rows gather their variant's tracks on
+            # device and score their own decay basis.
+            #   basis_rows: (S, R, B); row_uidx: (R,) index into unique pairs
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)
+            pair = codes.reshape(-1, 2, codes.shape[1])
+            p_ref = _pair_span_preds(params, pair[:, 0], offsets)
+            p_alt = _pair_span_preds(params, pair[:, 1], offsets)
+
+            def feats(p):
+                f = jnp.einsum("srb,rsm->rbm", basis_rows.astype(jnp.float32), p, precision=precision)
+                return f.reshape(p.shape[0], -1)
+
+            REF = jnp.dot(feats(jnp.take(p_ref, row_uidx, axis=0)), W, precision=precision) + bias
+            ALT = jnp.dot(feats(jnp.take(p_alt, row_uidx, axis=0)), W, precision=precision) + bias
+            return REF.astype(jnp_out), (ALT - REF).astype(jnp_out)
+
+        self._score_spans_pair_packed2_rows = _score_spans_pair_packed2_rows
 
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
         def _score_spans_pair_packed2(params, packed, n_rows, n_cols, basis, W, bias, offsets, span_len):
@@ -733,6 +759,81 @@ class BelugaRunner:
                     offsets,
                     span_len,
                     int(mutpos),
+                )
+
+        self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))
+        return REF, ALT, SED
+
+    def score_variant_span_pairs_rows(
+        self,
+        ref_spans_u: np.ndarray,
+        alt_spans_u: np.ndarray,
+        offsets,
+        basis_rows: np.ndarray,
+        row_uidx: np.ndarray,
+        W: np.ndarray,
+        bias: np.ndarray,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Pair serving (indels) over (variant, gene) rows sharing variants:
+        both conv stacks run once per UNIQUE (ref, alt) span pair; each row
+        scores its own decay basis against an on-device gather of its
+        variant's tracks. Spans ship 2-bit packed, interleaved per pair.
+
+        ``basis_rows``: (S, R, B); ``row_uidx``: (R,) nondecreasing index
+        into the unique pairs (the closest-genes expansion's layout).
+        """
+        ref_spans_u = np.asarray(ref_spans_u, dtype=np.int8)
+        alt_spans_u = np.asarray(alt_spans_u, dtype=np.int8)
+        row_uidx = np.asarray(row_uidx, dtype=np.int64)
+        offsets = tuple(int(o) for o in offsets)
+        n_u, span_len = ref_spans_u.shape
+        n_rows_total = row_uidx.shape[0]
+        k = W.shape[1]
+        rows = self._span_rows(len(offsets))
+
+        inter = np.empty((2 * n_u, span_len), dtype=np.int8)
+        inter[0::2] = ref_spans_u
+        inter[1::2] = alt_spans_u
+        plan = self._pack2_plan(inter, 2 * rows)
+        if plan is None:
+            # pathologically N-dense: expand and take the per-row pair kernel
+            return self.score_variant_spans(
+                ref_spans_u[row_uidx], alt_spans_u[row_uidx], offsets, basis_rows, W, bias
+            )
+        W_dev = jnp.asarray(W, dtype=jnp.float32)
+        bias_dev = jnp.asarray(bias, dtype=jnp.float32)
+        REF = np.empty((n_rows_total, k), dtype=np.float32)
+        ALT = np.empty((n_rows_total, k), dtype=np.float32)
+        SED = np.empty((n_rows_total, k), dtype=np.float32)
+
+        basis_wire = basis_rows.astype(self._basis_wire_dtype, copy=False)
+        starts = list(range(0, n_u, rows))
+        r_bounds = [
+            (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
+            for s in starts
+        ]
+        max_r = max((b - a for a, b in r_bounds), default=1)
+        r_pad = -(-max(max_r, 1) // 64) * 64  # one static row bucket per call
+
+        def jobs():
+            for (start, (r0, r1)), (_s2, _real2, p_chunk, rl, cl) in zip(
+                zip(starts, r_bounds), self._pack2_chunks(plan, 2 * rows, 2 * n_u)
+            ):
+                real_r = r1 - r0
+                b_chunk = np.pad(basis_wire[:, r0:r1], ((0, 0), (0, r_pad - real_r), (0, 0)))
+                idx_local = np.zeros(r_pad, np.int32)
+                idx_local[:real_r] = (row_uidx[r0:r1] - start).astype(np.int32)
+                yield (r0, real_r), real_r, self._score_spans_pair_packed2_rows(
+                    self.params,
+                    jax.device_put(p_chunk, self._batch_sharding),
+                    jnp.asarray(rl),
+                    jnp.asarray(cl),
+                    jnp.asarray(b_chunk),
+                    jnp.asarray(idx_local),
+                    W_dev,
+                    bias_dev,
+                    offsets,
+                    span_len,
                 )
 
         self._run_pipelined(jobs(), self._write_ref_sed(REF, ALT, SED))

@@ -145,7 +145,13 @@ def _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize) -
     chromatin.py:205-209 + expecto_utils.py:31, which only the per-window
     path reproduces) and the allele length change fits the crop arithmetic:
     dL < -100 drops the crop start below zero; a huge insertion would push
-    it past the span."""
+    it past the span. The ref allele must also fit inside every uncropped
+    fetch window: at shift s the allele starts at column half_w1 - s of the
+    (inputsize+100)-long window, so the spliced window length is exactly
+    inputsize+100+dL only when len(ref) <= inputsize+100-half_w1-maxshift
+    (251 bp at the defaults); a longer allele overruns the most-upstream
+    shift's window, the reference truncates the splice there, and the crop
+    start diverges from the span path's uniform (100+dL)//2."""
     half_w1 = (inputsize + 100) // 2 - 1
     positions = np.asarray(positions, dtype=np.int64)
     _, ref_lens = alleles_to_flat_codes(refs)
@@ -157,6 +163,7 @@ def _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize) -
     return (
         (dL >= -100)
         & (dL <= 2 * maxshift + inputsize - 200)
+        & (ref_lens <= inputsize + 100 - half_w1 - maxshift)
         & (positions - maxshift - half_w1 >= 1)
         & (positions + maxshift + half_w1 + 1 <= clens)
     )

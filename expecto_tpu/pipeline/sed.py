@@ -244,6 +244,45 @@ def score_sed(
     return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
 
 
+def _factorize_variant_rows(chroms, positions, refs, alts):
+    """Factorize (chrom, pos, ref, alt) rows in first-occurrence order (the
+    enumeration a seen-dict would produce, in vectorized C). Returns
+    (row_uidx, uniq_first): per-row unique index and, per unique variant,
+    the index of its first row."""
+    row_uidx, _levels = pd.MultiIndex.from_arrays([chroms, positions, refs, alts]).factorize()
+    row_uidx = row_uidx.astype(np.int64)
+    ns = len(row_uidx)
+    n_u = int(row_uidx.max()) + 1 if ns else 0
+    uniq_first = np.empty(n_u, dtype=np.int64)
+    uniq_first[row_uidx[::-1]] = np.arange(ns - 1, -1, -1)  # duplicate writes keep the FIRST occurrence
+    return row_uidx, uniq_first
+
+
+def _score_rows_via_windows(genome, runner, chroms, positions, refs, alts, shifts, basis_rows, W, bias, inputsize):
+    """Serving fallback for span-INeligible rows: the reference's per-window
+    fetch+splice+center-crop semantics (chromatin.py:175-209 — including the
+    clamped fetch at contig edges that the span path cannot reproduce),
+    fwd/RC averaged, decay-projected and scored against the stacked model
+    matrix on host. The conv stack runs once per unique variant."""
+    from .chromatin import _run_window_path
+
+    row_uidx, uniq_first = _factorize_variant_rows(chroms, positions, refs, alts)
+    per_shift = _run_window_path(
+        genome, runner, chroms[uniq_first], positions[uniq_first],
+        refs[uniq_first], alts[uniq_first], shifts, inputsize,
+    )
+    u = len(uniq_first)
+    # rows of _run_window_path are [fwd; rc] per allele — average like the
+    # h5 consumer (predict.py:183-194)
+    p_ref = np.stack([(per_shift[s][0][:u] + per_shift[s][0][u:]) * 0.5 for s in shifts])
+    p_alt = np.stack([(per_shift[s][1][:u] + per_shift[s][1][u:]) * 0.5 for s in shifts])
+    feats_ref = project_features(basis_rows, p_ref[:, row_uidx].astype(np.float32))
+    feats_alt = project_features(basis_rows, p_alt[:, row_uidx].astype(np.float32))
+    REF = (feats_ref @ W + bias).astype(np.float32)
+    ALT = (feats_alt @ W + bias).astype(np.float32)
+    return REF, ALT, ALT - REF
+
+
 def score_sed_serving(
     vcf: pd.DataFrame,
     gene: pd.DataFrame,
@@ -264,12 +303,14 @@ def score_sed_serving(
 
     Replaces the reference's two-script chromatin.py -> predict.py flow with
     one device-resident pass: no per-shift h5 intermediates, only per-model
-    scalars leave the accelerator. Handles every span-eligible variant:
-    substitutions ride the packed + incremental-patch kernels; indels ship
-    both crop-adjusted spliced spans through the pair kernel (same conv cost
-    per variant). Contig-edge variants and length changes beyond the 100 bp
-    crop slack are rejected (use the h5 path, which has the per-window
-    fallback).
+    scalars leave the accelerator. Every variant is served: span-eligible
+    substitutions ride the packed + incremental-patch kernels; span-eligible
+    indels ship both crop-adjusted spliced spans through the pair kernel
+    (same conv cost per variant, rows deduplicated per unique variant like
+    substitutions); span-INeligible rows (shift windows crossing a contig
+    edge, allele lengths beyond the span crop arithmetic) fall back to the
+    reference's per-window fetch+splice+crop path in-process — one edge
+    variant no longer demotes or aborts the run.
 
     Multi-process runs shard the (variant, gene) rows per host; each host
     runs the fused kernel on its slice, the per-row model scalars are
@@ -280,25 +321,7 @@ def score_sed_serving(
     from ..genome.encode import alleles_to_flat_codes
     from ..genome.windows import variant_shifts as _shifts_fn
 
-    refs = vcf.iloc[:, 3].astype(str).values
-    alts = vcf.iloc[:, 4].astype(str).values
-    # span eligibility on the FULL variant table (every host raises the same
-    # error): serving has no per-window fallback, so contig-edge variants and
-    # length changes beyond the crop slack need the h5 path
     from .chromatin import _gather_spans, _scatter_alleles, _span_eligible
-
-    eligible = _span_eligible(
-        genome, vcf.iloc[:, 0].astype(str).values, vcf.iloc[:, 1].astype(int).values,
-        refs, alts, maxshift, inputsize,
-    )
-    if not bool(np.asarray(eligible).all()):
-        n_bad = int((~np.asarray(eligible)).sum())
-        raise ValueError(
-            f"score_sed_serving requires span-eligible variants; {n_bad} rows are not "
-            "(shift windows crossing a contig edge, or allele length change beyond the "
-            "100 bp crop slack) — score those through the h5 path "
-            "(compute_variant_chromatin_effects + score_sed)"
-        )
 
     # align (variant, gene) rows exactly like the h5 path
     dummy = {"diff": np.zeros((1, vcf.shape[0], 1), np.float32)}
@@ -352,8 +375,16 @@ def score_sed_serving(
         np.fromiter((len(r) == len(a) for r, a in zip(row_refs, row_alts)), bool, n)
         if n else np.zeros(0, bool)
     )
-    sub_rows = np.nonzero(row_is_sub)[0]
-    ind_rows = np.nonzero(~row_is_sub)[0]
+    # per-row span eligibility: ineligible rows (contig-edge windows, allele
+    # lengths outside the span crop arithmetic) are served through the
+    # reference per-window path instead of aborting the run
+    row_elig = (
+        _span_eligible(genome, chroms, positions, row_refs, row_alts, maxshift, inputsize)
+        if n else np.zeros(0, bool)
+    )
+    sub_rows = np.nonzero(row_is_sub & row_elig)[0]
+    ind_rows = np.nonzero(~row_is_sub & row_elig)[0]
+    win_rows = np.nonzero(~row_elig)[0]
 
     if sub_rows.size:
         # the gene association repeats each variant once per associated gene;
@@ -363,13 +394,8 @@ def score_sed_serving(
         s_chroms, s_pos = chroms[sub_rows], positions[sub_rows]
         s_refs, s_alts = row_refs[sub_rows], row_alts[sub_rows]
         ns = sub_rows.size
-        # factorize (chrom, pos, ref, alt) in first-occurrence order — the
-        # same enumeration a seen-dict would produce, in vectorized C
-        row_uidx, _levels = pd.MultiIndex.from_arrays([s_chroms, s_pos, s_refs, s_alts]).factorize()
-        row_uidx = row_uidx.astype(np.int64)
-        n_u = int(row_uidx.max()) + 1 if ns else 0
-        uniq_first = np.empty(n_u, dtype=np.int64)
-        uniq_first[row_uidx[::-1]] = np.arange(ns - 1, -1, -1)  # duplicate writes keep the FIRST occurrence
+        row_uidx, uniq_first = _factorize_variant_rows(s_chroms, s_pos, s_refs, s_alts)
+        n_u = len(uniq_first)
 
         # host span assembly, fully vectorized (one genome gather per
         # chromosome + one allele scatter — no per-variant Python loop,
@@ -400,17 +426,37 @@ def score_sed_serving(
         # indels: the alt span is crop-shifted relative to ref (no shared
         # on-device splice), so both spliced spans ship explicitly and ride
         # the pair kernel — same per-variant conv cost as substitutions
-        # (pipeline/chromatin.py::assemble_variant_spans crop arithmetic)
+        # (pipeline/chromatin.py::assemble_variant_spans crop arithmetic).
+        # Rows dedup per unique variant exactly like substitutions: the two
+        # conv stacks run once per variant, rows gather tracks on device.
         from .chromatin import assemble_variant_spans
 
+        i_chroms, i_pos = chroms[ind_rows], positions[ind_rows]
+        i_refs, i_alts = row_refs[ind_rows], row_alts[ind_rows]
+        row_uidx, uniq_first = _factorize_variant_rows(i_chroms, i_pos, i_refs, i_alts)
         r_spans, a_spans = assemble_variant_spans(
-            genome, chroms[ind_rows], positions[ind_rows],
-            row_refs[ind_rows], row_alts[ind_rows], maxshift, inputsize,
+            genome, i_chroms[uniq_first], i_pos[uniq_first],
+            i_refs[uniq_first], i_alts[uniq_first], maxshift, inputsize,
         )
-        R, A, S = runner.score_variant_spans(
-            r_spans, a_spans, offsets, np.ascontiguousarray(basis[:, ind_rows]), W, bias
-        )
+        i_basis = np.ascontiguousarray(basis[:, ind_rows])
+        contiguous = bool(np.all(np.diff(row_uidx) >= 0))
+        if len(uniq_first) < ind_rows.size and contiguous and hasattr(runner, "score_variant_span_pairs_rows"):
+            R, A, S = runner.score_variant_span_pairs_rows(
+                r_spans, a_spans, offsets, i_basis, row_uidx, W, bias
+            )
+        else:
+            R, A, S = runner.score_variant_spans(
+                r_spans[row_uidx], a_spans[row_uidx], offsets, i_basis, W, bias
+            )
         REF[ind_rows], ALT[ind_rows], SED[ind_rows] = R, A, S
+
+    if win_rows.size:
+        R, A, S = _score_rows_via_windows(
+            genome, runner, chroms[win_rows], positions[win_rows],
+            row_refs[win_rows], row_alts[win_rows], shifts,
+            np.ascontiguousarray(basis[:, win_rows]), W, bias, inputsize,
+        )
+        REF[win_rows], ALT[win_rows], SED[win_rows] = R, A, S
 
     if distributed:
         merged = dist.exchange_row_blocks(

@@ -115,6 +115,24 @@ def main() -> int:
         ]
         return consensus_main(args)
 
+    if mode == "exchange2":
+        # two back-to-back exchanges with the SAME tag into the same dir:
+        # sequence-stamped shard names must keep call 2's writes clear of
+        # the primary's deletion of call 1's shards (regression: tag reuse
+        # raced the cleanup)
+        from expecto_tpu.parallel.dist import exchange_row_blocks, host_row_range, is_primary
+
+        n = int(cfg["n"])
+        lo, hi = host_row_range(n)
+        rows = np.arange(n, dtype=np.float64)
+        m1 = exchange_row_blocks({"x": rows[lo:hi] * 2.0}, cfg["dir"], "reused_tag")
+        m2 = exchange_row_blocks({"x": rows[lo:hi] * 3.0}, cfg["dir"], "reused_tag")
+        assert np.array_equal(m1["x"], rows * 2.0), "first exchange corrupted"
+        assert np.array_equal(m2["x"], rows * 3.0), "second exchange corrupted"
+        if is_primary():
+            np.savez(cfg["out"], x1=m1["x"], x2=m2["x"])
+        return 0
+
     if mode == "train_cli":
         from expecto_tpu.cli.train import main as train_main
 

@@ -397,3 +397,17 @@ def test_gblinear_two_process_real_shape(tmp_path):
     # train.py:146-154 prints this every round)
     assert ref["hist_eval"].shape == got["hist_eval"].shape == (4,)
     np.testing.assert_allclose(got["hist_eval"], ref["hist_eval"], atol=1e-5)
+
+
+def test_exchange_tag_reuse_two_process(tmp_path):
+    """Two back-to-back exchange_row_blocks with the SAME tag in one process
+    run: sequence-stamped shard filenames must isolate the calls (the second
+    call's writes previously raced the primary's deletion of the first
+    call's shards)."""
+    out = str(tmp_path / "ex.npz")
+    _run_group("exchange2", [{"n": 101, "dir": str(tmp_path), "out": out}] * 2, devices=1)
+    got = np.load(out)
+    rows = np.arange(101, dtype=np.float64)
+    np.testing.assert_array_equal(got["x1"], rows * 2.0)
+    np.testing.assert_array_equal(got["x2"], rows * 3.0)
+    assert not [f for f in os.listdir(tmp_path) if "exchange" in f], "exchange shards not cleaned"

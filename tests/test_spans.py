@@ -122,6 +122,65 @@ class TestPipelineSpanPaths:
             for a, b in zip(span.arrays[shift], win.arrays[shift]):
                 np.testing.assert_allclose(a, b, atol=3e-5)
 
+    def test_long_allele_eligibility_bound(self, tiny_genome, params):
+        """The ref allele must fit inside every uncropped fetch window:
+        at the bound (inputsize+100-half_w1-maxshift = 651 bp here) the
+        span path is still exact; one base over, the reference's splice
+        truncates at the most-upstream shift and the crop diverges — such
+        rows must be ineligible and auto-route to the window path."""
+        import pandas as pd
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import (
+            _span_eligible,
+            compute_variant_chromatin_effects,
+        )
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        maxshift = 400
+        bound = 2000 + 100 - ((2000 + 100) // 2 - 1) - maxshift  # 651
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        # at the bound: eligible, and span == window exactly
+        pos = 20000
+        ref_a = c1[pos - 1 : pos - 1 + bound]
+        alt_a = c1[30000 : 30000 + bound - 51]  # dL=-51, within crop slack
+        vcf_a = pd.DataFrame([["chr1", pos, ".", ref_a, alt_a]])
+        assert bool(
+            _span_eligible(fa, ["chr1"], [pos], [ref_a], [alt_a], maxshift, 2000).all()
+        )
+        span = compute_variant_chromatin_effects(
+            vcf_a, fa, runner, None, maxshift=maxshift, keep_arrays=True, use_spans="always", verbose=False
+        )
+        win = compute_variant_chromatin_effects(
+            vcf_a, fa, runner, None, maxshift=maxshift, keep_arrays=True, use_spans="never", verbose=False
+        )
+        for shift in span.shifts:
+            for a, b in zip(span.arrays[shift], win.arrays[shift]):
+                np.testing.assert_allclose(a, b, atol=3e-5)
+
+        # one base over the bound: ineligible; 'always' raises; 'auto'
+        # routes per-window and equals 'never'
+        ref_b = c1[pos - 1 : pos - 1 + bound + 1]
+        alt_b = c1[30000 : 30000 + bound - 50]
+        vcf_b = pd.DataFrame([["chr1", pos, ".", ref_b, alt_b]])
+        assert not bool(
+            _span_eligible(fa, ["chr1"], [pos], [ref_b], [alt_b], maxshift, 2000).any()
+        )
+        with pytest.raises(ValueError, match="span-eligible"):
+            compute_variant_chromatin_effects(
+                vcf_b, fa, runner, None, maxshift=maxshift, keep_arrays=True, use_spans="always", verbose=False
+            )
+        auto = compute_variant_chromatin_effects(
+            vcf_b, fa, runner, None, maxshift=maxshift, keep_arrays=True, use_spans="auto", verbose=False
+        )
+        win_b = compute_variant_chromatin_effects(
+            vcf_b, fa, runner, None, maxshift=maxshift, keep_arrays=True, use_spans="never", verbose=False
+        )
+        for shift in auto.shifts:
+            for a, b in zip(auto.arrays[shift], win_b.arrays[shift]):
+                np.testing.assert_allclose(a, b, atol=3e-5)
+
     def test_gene_features_span_equals_fused(self, tiny_genome, params):
         from expecto_tpu.parallel.runner import BelugaRunner
         from expecto_tpu.pipeline.features import (
@@ -263,8 +322,10 @@ class TestServingIndels:
         fa, contigs = tiny_genome
         c1 = contigs["chr1"]
         rows, gene_rows = [], []
-        specs = [(7000, 0), (15000, +2), (24000, -3)]  # sub, insertion, deletion
-        for pos, d_len in specs:
+        # sub, insertion (TWO genes -> exercises the pair-rows dedup kernel),
+        # deletion
+        specs = [(7000, 0, 1), (15000, +2, 2), (24000, -3, 1)]
+        for pos, d_len, n_genes in specs:
             if d_len == 0:
                 ref = c1[pos - 1]
                 alt = {"A": "T", "C": "G", "G": "C", "T": "A"}[ref]
@@ -275,7 +336,9 @@ class TestServingIndels:
                 ref = c1[pos - 1 : pos - d_len]
                 alt = c1[pos - 1]
             rows.append(["chr1", pos, ".", ref, alt])
-            gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 8999, 9000, "+", "G1", 9000 - pos])
+            for gi in range(n_genes):
+                tss = 9000 + 4000 * gi
+                gene_rows.append(["1", pos - 1, pos, ref, alt, "1", tss - 1, tss, "+", f"G{gi}", tss - pos])
         vcf = pd.DataFrame(rows)
         gene = pd.DataFrame(gene_rows)
 
@@ -304,19 +367,64 @@ class TestServingIndels:
             serving["REF_m.save"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4
         )
 
-    def test_serving_rejects_ineligible_variants(self, tiny_genome, params):
+    def test_serving_ineligible_rows_take_window_fallback(self, tiny_genome, params):
+        """Span-ineligible rows (beyond the crop slack, contig-edge windows)
+        no longer abort serving: they are scored in-process through the
+        reference per-window path and must match the h5 chain row-for-row,
+        alongside eligible rows in the same VCF."""
+        import os
+        import tempfile
+
         import pandas as pd
 
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.models.gblinear import GBLinearModel
         from expecto_tpu.parallel.runner import BelugaRunner
-        from expecto_tpu.pipeline.sed import score_sed_serving
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+        from expecto_tpu.pipeline.sed import score_sed, score_sed_serving
 
         fa, contigs = tiny_genome
         c1 = contigs["chr1"]
-        vcf = pd.DataFrame([["chr1", 10000, ".", c1[9999 : 9999 + 151], c1[9999]]])  # -150 bp
-        gene = pd.DataFrame([["1", 9999, 10000, vcf.iloc[0, 3], vcf.iloc[0, 4], "1", 8999, 9000, "+", "G1", -1000]])
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rows, gene_rows = [], []
+        # row 1: -150 bp deletion (beyond the -100 crop slack)
+        rows.append(["chr1", 10000, ".", c1[9999 : 9999 + 151], c1[9999]])
+        # row 2: substitution whose upstream shift windows cross the contig
+        # start (pos < maxshift + 1050)
+        pos_edge = 900
+        rows.append(["chr1", pos_edge, ".", c1[pos_edge - 1], comp[c1[pos_edge - 1]]])
+        # row 3: an ordinary eligible substitution sharing the run
+        rows.append(["chr1", 24000, ".", c1[23999], comp[c1[23999]]])
+        for i, r in enumerate(rows):
+            tss = 9000 + 5000 * i
+            gene_rows.append(["1", r[1] - 1, r[1], r[3], r[4], "1", tss - 1, tss, "+", f"G{i}", tss - r[1]])
+        vcf = pd.DataFrame(rows)
+        gene = pd.DataFrame(gene_rows)
+
+        rng = np.random.default_rng(4)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.05, bias=0.2, base_score=2.0)
         runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
-        with pytest.raises(ValueError, match="span-eligible"):
-            score_sed_serving(vcf, gene, fa, runner, ["unused.save"], maxshift=400)
+
+        with tempfile.TemporaryDirectory() as td:
+            save_xgb07_binary(model, os.path.join(td, "m.save"))
+            res = compute_variant_chromatin_effects(
+                vcf, fa, runner, None, maxshift=400, keep_arrays=True, verbose=False
+            )
+            effects = {
+                k: np.stack([res.arrays[s][i] for s in res.shifts], axis=0)
+                for i, k in [(1, "ref"), (2, "alt")]
+            }
+            effects = {k: (v[:, :3] + v[:, 3:]) / 2 for k, v in effects.items()}
+            h5_res = score_sed(effects, vcf, gene, model, maxshift=400)
+            serving = score_sed_serving(
+                vcf, gene, fa, runner, [os.path.join(td, "m.save")], maxshift=400
+            )
+        np.testing.assert_allclose(
+            serving["m.save"].values, h5_res.table["SED"].values, rtol=1e-3, atol=1e-5
+        )
+        np.testing.assert_allclose(
+            serving["REF_m.save"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4
+        )
 
 
 class TestIncrementalPatch:
