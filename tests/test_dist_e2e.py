@@ -233,6 +233,16 @@ def _write_score_fixture(tmp_path, contigs):
         gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 8999, 9000, "+", f"G{gi}", 9000 - pos])
         if gi == 2:  # one variant with a second associated gene (repeat expansion)
             gene_rows.append(["1", pos - 1, pos, ref, alt, "1", 18999, 19000, "-", "G2b", 19000 - pos])
+    # contig-edge substitution (upstream shift windows cross the contig
+    # start): serving routes it through the per-window fallback
+    ref = contigs["chr1"][799]
+    vcf_rows.append(f"chr1\t800\t.\t{ref}\t{comp[ref]}")
+    gene_rows.append(["1", 799, 800, ref, comp[ref], "1", 8999, 9000, "+", "Gedge", 8200])
+    # insertion associated with TWO genes: pair kernel + per-variant dedup
+    ref = contigs["chr1"][24999]
+    vcf_rows.append(f"chr1\t25000\t.\t{ref}\t{ref}AG")
+    gene_rows.append(["1", 24999, 25000, ref, ref + "AG", "1", 18999, 19000, "-", "Gi1", -6000])
+    gene_rows.append(["1", 24999, 25000, ref, ref + "AG", "1", 27999, 28000, "+", "Gi2", 3000])
     vcf = tmp_path / "in.vcf"
     vcf.write_text("\n".join(vcf_rows) + "\n")
     gene_path = tmp_path / "genes.tsv"
@@ -269,7 +279,9 @@ def test_score_cli_two_process_matches_single(tmp_path, weights_npz, genome_fixt
     with open(single_csv) as f1, open(dist_csv) as f2:
         a, b = f1.read(), f2.read()
     assert a == b  # byte-identical CSV
-    assert len(a.splitlines()) == 7  # header + 6 (variant, gene) rows
+    # header + 9 (variant, gene) rows: 6 substitution rows, 1 contig-edge
+    # row (window fallback), 2 rows of the two-gene insertion (pair dedup)
+    assert len(a.splitlines()) == 10
     assert not [f for f in os.listdir(os.path.dirname(dist_csv)) if "exchange" in f], "exchange shards not cleaned"
 
 
