@@ -477,6 +477,23 @@ class BelugaRunner:
                 chunk = np.pad(chunk, ((0, rows - real), (0, 0)))
             yield start, real, chunk
 
+    def _row_chunk_plan(self, row_uidx: np.ndarray, n_u: int, rows: int):
+        """Chunking for (variant, gene)-expanded rows whose nondecreasing
+        ``row_uidx`` maps them onto chunks of ``rows`` unique variants:
+        (chunk starts, per-chunk row bounds, r_pad). ``r_pad`` is one static
+        64-row bucket across all chunks so every call compiles the same
+        kernel signature. Shared by the sub (packed_rows) and indel
+        (pair_rows) serving paths — the bucket arithmetic must never
+        diverge between them."""
+        starts = list(range(0, n_u, rows))
+        r_bounds = [
+            (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
+            for s in starts
+        ]
+        max_r = max((b - a for a, b in r_bounds), default=1)
+        r_pad = -(-max(max_r, 1) // 64) * 64
+        return starts, r_bounds, r_pad
+
     def _span_rows(self, n_offsets: int) -> int:
         rows = max(self.batch_size // n_offsets, 1)
         n_dev = self.mesh.devices.size
@@ -725,13 +742,7 @@ class BelugaRunner:
         SED = np.empty((n_rows_total, k), dtype=np.float32)
 
         basis_wire = basis_rows.astype(self._basis_wire_dtype, copy=False)
-        starts = list(range(0, n_u, rows))
-        r_bounds = [
-            (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
-            for s in starts
-        ]
-        max_r = max((b - a for a, b in r_bounds), default=1)
-        r_pad = -(-max(max_r, 1) // 64) * 64  # one static row bucket per call
+        starts, r_bounds, r_pad = self._row_chunk_plan(row_uidx, n_u, rows)
 
         def jobs():
             for (start, (r0, r1)), (s0, real_u, p_chunk, rl, cl) in zip(
@@ -807,13 +818,7 @@ class BelugaRunner:
         SED = np.empty((n_rows_total, k), dtype=np.float32)
 
         basis_wire = basis_rows.astype(self._basis_wire_dtype, copy=False)
-        starts = list(range(0, n_u, rows))
-        r_bounds = [
-            (int(np.searchsorted(row_uidx, s)), int(np.searchsorted(row_uidx, min(s + rows, n_u))))
-            for s in starts
-        ]
-        max_r = max((b - a for a, b in r_bounds), default=1)
-        r_pad = -(-max(max_r, 1) // 64) * 64  # one static row bucket per call
+        starts, r_bounds, r_pad = self._row_chunk_plan(row_uidx, n_u, rows)
 
         def jobs():
             for (start, (r0, r1)), (_s2, _real2, p_chunk, rl, cl) in zip(

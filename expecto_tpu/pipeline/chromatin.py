@@ -137,6 +137,19 @@ def _gather_spans(genome, chroms: np.ndarray, starts_1based: np.ndarray, span_le
     return out
 
 
+def _require_known_chromosomes(genome, chroms) -> None:
+    """Raise one clear ValueError listing every VCF chromosome absent from
+    the FASTA (instead of a raw KeyError deep in the window fetch — which,
+    in a distributed run, would kill only the host owning the row and hang
+    the rest at the next barrier)."""
+    missing = sorted({c for c in dict.fromkeys(np.asarray(chroms).tolist()) if c not in genome})
+    if missing:
+        raise ValueError(
+            f"chromosome(s) {missing} not present in the genome FASTA; "
+            "check the VCF's contig naming (chr-prefix?) against the FASTA"
+        )
+
+
 def _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize) -> np.ndarray:
     """Per-variant mask: True where the span fast path reproduces the
     reference's fetch+splice+crop semantics exactly — every uncropped
@@ -328,6 +341,12 @@ def compute_variant_chromatin_effects(
     else:
         lo, hi = 0, n
 
+    # validate on the FULL table, before any per-row fetch, so every host in
+    # a distributed run raises the same error — a single host dying while
+    # the rest block at a shard barrier would turn a clear error into a
+    # distributed timeout (ADVICE r2)
+    _require_known_chromosomes(genome, chroms)
+
     # diagnostics always scan the FULL table (a cheap vectorized host gather)
     # so every process returns the same counts; only the primary prints
     ref_matched, alt_matched = _diagnostics(
@@ -336,10 +355,8 @@ def compute_variant_chromatin_effects(
     result = ChromatinResult(shifts=shifts, n_variants=n, ref_matched=ref_matched, alt_matched=alt_matched)
 
     span_capable = hasattr(runner, "predict_span_codes")
-    # eligibility is evaluated on the FULL table so every host in a
-    # distributed run reaches the same use_spans='always' verdict — a single
-    # host raising while the rest block at the shard barrier would turn a
-    # clear error into a distributed timeout (ADVICE r2)
+    # eligibility is likewise evaluated on the full table so every host
+    # reaches the same use_spans='always' verdict
     span_ok = _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize)
     if use_spans == "always":
         if not span_capable:

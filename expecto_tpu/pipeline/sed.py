@@ -263,21 +263,36 @@ def _score_rows_via_windows(genome, runner, chroms, positions, refs, alts, shift
     fetch+splice+center-crop semantics (chromatin.py:175-209 — including the
     clamped fetch at contig edges that the span path cannot reproduce),
     fwd/RC averaged, decay-projected and scored against the stacked model
-    matrix on host. The conv stack runs once per unique variant."""
-    from .chromatin import _run_window_path
+    matrix on host. Windows are fetched once per unique variant and ALL
+    (shift, allele, orientation) windows ship as ONE device batch — a lone
+    edge variant costs one padded forward call, not one per shift."""
+    from ..genome.encode import reverse_complement_codes, seqs_to_codes
+    from ..genome.windows import fetch_variant_window
 
     row_uidx, uniq_first = _factorize_variant_rows(chroms, positions, refs, alts)
-    per_shift = _run_window_path(
-        genome, runner, chroms[uniq_first], positions[uniq_first],
-        refs[uniq_first], alts[uniq_first], shifts, inputsize,
-    )
     u = len(uniq_first)
-    # rows of _run_window_path are [fwd; rc] per allele — average like the
-    # h5 consumer (predict.py:183-194)
-    p_ref = np.stack([(per_shift[s][0][:u] + per_shift[s][0][u:]) * 0.5 for s in shifts])
-    p_alt = np.stack([(per_shift[s][1][:u] + per_shift[s][1][u:]) * 0.5 for s in shifts])
-    feats_ref = project_features(basis_rows, p_ref[:, row_uidx].astype(np.float32))
-    feats_alt = project_features(basis_rows, p_alt[:, row_uidx].astype(np.float32))
+    n_shifts = len(shifts)
+    ref_seqs, alt_seqs = [], []
+    for s in shifts:
+        for i in uniq_first:
+            w = fetch_variant_window(
+                genome, chroms[i], positions[i], refs[i], alts[i], shift=s, inputsize=inputsize
+            )
+            ref_seqs.append(w.ref_seq)
+            alt_seqs.append(w.alt_seq)
+    ref_codes = seqs_to_codes(ref_seqs, inputsize)  # (S*u, L), shift-major
+    alt_codes = seqs_to_codes(alt_seqs, inputsize)
+    fused = np.concatenate(
+        [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
+        axis=0,
+    )
+    preds = runner.predict_codes(fused).astype(np.float32)
+    blocks = preds.reshape(4, n_shifts, u, preds.shape[-1])
+    # fwd/RC averaged like the h5 consumer (predict.py:183-194)
+    p_ref = (blocks[0] + blocks[2]) * 0.5  # (S, u, M)
+    p_alt = (blocks[1] + blocks[3]) * 0.5
+    feats_ref = project_features(basis_rows, p_ref[:, row_uidx])
+    feats_alt = project_features(basis_rows, p_alt[:, row_uidx])
     REF = (feats_ref @ W + bias).astype(np.float32)
     ALT = (feats_alt @ W + bias).astype(np.float32)
     return REF, ALT, ALT - REF
@@ -315,13 +330,28 @@ def score_sed_serving(
     Multi-process runs shard the (variant, gene) rows per host; each host
     runs the fused kernel on its slice, the per-row model scalars are
     exchanged exactly (parallel/dist.py::exchange_row_blocks), and the
-    primary writes ``output_csv`` — bit-identical to single-process (the
-    kernels are row-independent). Replaces merge_predict_batched.py:10-30.
+    primary writes ``output_csv``. Per-row results are independent of the
+    other rows in a batch and every row routes to the same kernel program
+    regardless of how the table is sliced, so multi-process output is
+    bit-identical to single-process in the tested configurations (the
+    2-process e2e suite asserts byte-equal CSVs across all three routes);
+    in general it is equal to within GEMM reduction-order ulps. Replaces
+    merge_predict_batched.py:10-30.
     """
     from ..genome.encode import alleles_to_flat_codes
     from ..genome.windows import variant_shifts as _shifts_fn
 
-    from .chromatin import _gather_spans, _scatter_alleles, _span_eligible
+    from .chromatin import (
+        _gather_spans,
+        _require_known_chromosomes,
+        _scatter_alleles,
+        _span_eligible,
+    )
+
+    # validate chromosomes on the FULL table so every host in a distributed
+    # run raises the same error (one host dying on an unknown contig would
+    # hang the rest at the exchange barrier)
+    _require_known_chromosomes(genome, vcf.iloc[:, 0].astype(str).values)
 
     # align (variant, gene) rows exactly like the h5 path
     dummy = {"diff": np.zeros((1, vcf.shape[0], 1), np.float32)}
@@ -410,8 +440,13 @@ def score_sed_serving(
         _scatter_alleles(alt_alleles, u_rows, alt_codes, alt_lens, np.zeros(n_u, np.int64))
 
         s_basis = np.ascontiguousarray(basis[:, sub_rows])
+        # route through the rows kernel whenever the layout permits — even
+        # 1:1 — so a row is scored by the SAME program no matter how a
+        # distributed run slices the table (kernel choice depending on the
+        # local dup structure would let single- and multi-process runs
+        # compile different programs for the same row)
         contiguous = bool(np.all(np.diff(row_uidx) >= 0))
-        if n_u < ns and contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
+        if contiguous and hasattr(runner, "score_variant_spans_packed_rows"):
             R, A, S = runner.score_variant_spans_packed_rows(
                 ref_spans, mutpos, alt_alleles, offsets, s_basis, row_uidx, W, bias
             )
@@ -439,8 +474,10 @@ def score_sed_serving(
             i_refs[uniq_first], i_alts[uniq_first], maxshift, inputsize,
         )
         i_basis = np.ascontiguousarray(basis[:, ind_rows])
+        # same-program routing as the substitution branch: rows kernel
+        # whenever contiguous, independent of the local dup structure
         contiguous = bool(np.all(np.diff(row_uidx) >= 0))
-        if len(uniq_first) < ind_rows.size and contiguous and hasattr(runner, "score_variant_span_pairs_rows"):
+        if contiguous and hasattr(runner, "score_variant_span_pairs_rows"):
             R, A, S = runner.score_variant_span_pairs_rows(
                 r_spans, a_spans, offsets, i_basis, row_uidx, W, bias
             )

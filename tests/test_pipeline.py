@@ -87,6 +87,21 @@ class TestChromatinPipeline:
 
 
 class TestSpanPathRouting:
+    def test_unknown_chromosome_raises_clearly(self, tiny_genome, runner):
+        """A VCF contig absent from the FASTA raises one clear ValueError on
+        the FULL table (not a KeyError deep in the window fetch — which in a
+        distributed run would kill only the owning host and hang the rest at
+        the next barrier)."""
+        fa, contigs = tiny_genome
+        rows = [
+            ["chr1", 5000, ".", contigs["chr1"][4999], "T" if contigs["chr1"][4999] != "T" else "A"],
+            ["chrEBV", 1000, ".", "A", "T"],
+        ]
+        with pytest.raises(ValueError, match="chrEBV.*not present"):
+            compute_variant_chromatin_effects(
+                pd.DataFrame(rows), fa, runner, None, maxshift=200, keep_arrays=True, verbose=False
+            )
+
     def test_mixed_vcf_rides_one_span_batch(self, tiny_genome, runner):
         """Substitutions AND in-slack indels are span-eligible: 'auto' on a
         mixed VCF equals use_spans='always' bit-for-bit (everything in one

@@ -367,6 +367,21 @@ class TestServingIndels:
             serving["REF_m.save"].values, h5_res.table["REF"].values, rtol=1e-4, atol=1e-4
         )
 
+    def test_serving_unknown_chromosome_raises_clearly(self, tiny_genome, params):
+        """Serving validates contigs on the FULL table before any work (one
+        clear ValueError on every host, no KeyError mid-fetch)."""
+        import pandas as pd
+
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.sed import score_sed_serving
+
+        fa, _ = tiny_genome
+        vcf = pd.DataFrame([["chrEBV", 1000, ".", "A", "T"]])
+        gene = pd.DataFrame([["1", 999, 1000, "A", "T", "1", 8999, 9000, "+", "G1", 8000]])
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+        with pytest.raises(ValueError, match="chrEBV.*not present"):
+            score_sed_serving(vcf, gene, fa, runner, ["never_loaded.save"], maxshift=400)
+
     def test_serving_ineligible_rows_take_window_fallback(self, tiny_genome, params):
         """Span-ineligible rows (beyond the crop slack, contig-edge windows)
         no longer abort serving: they are scored in-process through the
