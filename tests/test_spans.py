@@ -181,6 +181,49 @@ class TestPipelineSpanPaths:
             for a, b in zip(auto.arrays[shift], win_b.arrays[shift]):
                 np.testing.assert_allclose(a, b, atol=3e-5)
 
+    def test_randomized_span_window_parity_fuzz(self, tiny_genome, params):
+        """Seeded fuzz over the variant-class space: random positions,
+        random allele length changes across the full ±100 crop slack, odd
+        and even dL, plus contig-edge rows — 'auto' must equal 'never'
+        (reference per-window semantics) on every row."""
+        import pandas as pd
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        rng = np.random.default_rng(77)
+        bases = "ACGT"
+        rows = []
+        for _ in range(14):
+            pos = int(rng.integers(2000, 58000))
+            dL = int(rng.integers(-100, 101))
+            if dL == 0:
+                ref = c1[pos - 1]
+                alt = bases[(bases.index(ref) + 1) % 4]
+            elif dL > 0:
+                ref = c1[pos - 1]
+                alt = ref + "".join(rng.choice(list(bases), dL))
+            else:
+                ref = c1[pos - 1 : pos - dL]
+                alt = c1[pos - 1]
+            rows.append(["chr1", pos, ".", ref, alt])
+        # contig-edge rows (ineligible -> window fallback inside 'auto')
+        rows.append(["chr1", 700, ".", c1[699], bases[(bases.index(c1[699]) + 1) % 4]])
+        rows.append(["chr1", 59500, ".", c1[59499], bases[(bases.index(c1[59499]) + 1) % 4]])
+        vcf = pd.DataFrame(rows)
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+
+        auto = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, use_spans="auto", verbose=False
+        )
+        win = compute_variant_chromatin_effects(
+            vcf, fa, runner, None, maxshift=200, keep_arrays=True, use_spans="never", verbose=False
+        )
+        for shift in auto.shifts:
+            for a, b in zip(auto.arrays[shift], win.arrays[shift]):
+                np.testing.assert_allclose(a, b, atol=3e-5)
+
     def test_gene_features_span_equals_fused(self, tiny_genome, params):
         from expecto_tpu.parallel.runner import BelugaRunner
         from expecto_tpu.pipeline.features import (
