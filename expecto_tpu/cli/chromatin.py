@@ -38,7 +38,6 @@ def main(argv=None) -> int:
 
     import jax
     import jax.numpy as jnp
-    import numpy as np
 
     from ..genome.fasta import FastaIndex
     from ..genome.vcf import read_vcf, standardize_chroms, write_vcf_hg19
@@ -94,12 +93,14 @@ def main(argv=None) -> int:
         batch_size=args.batchsize,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         precision=jax.lax.Precision.DEFAULT if args.bf16 else jax.lax.Precision.HIGHEST,
-        # bf16 production mode also fetches tracks over an fp16 wire — the
-        # fetch is this path's bottleneck (2N x O x 2002 per shift) and the
-        # fork itself rewrites these h5s to fp16 (compress_consensus.py);
-        # h5 values are then fp16-rounded, stored fp32. Parity mode (the
-        # default) keeps the full fp32 wire. Matches compute_features/score.
-        out_dtype=np.float16 if args.bf16 else np.float32,
+        # the wire stays fp32 in BOTH modes: this path stores
+        # diff = alt - ref computed on HOST (pipeline/chromatin.py), and
+        # differencing independently fp16-rounded sides would bury a
+        # ~1e-3-scale chromatin effect under ~5e-4 uncorrelated rounding
+        # noise — the exact hazard the fused serving kernel avoids by
+        # differencing in fp32 on device (runner._score_spans). fp16
+        # fetches are reserved for paths that never difference host-side
+        # (compute_features, consensus preds).
     )
     compute_variant_chromatin_effects(
         vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize,

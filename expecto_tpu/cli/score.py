@@ -10,7 +10,7 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="Fused variant SED scoring (chromatin + predict in one pass)")
-    p.add_argument("inputfile", help="VCF of substitution variants")
+    p.add_argument("inputfile", help="VCF of variants (substitutions and indels; contig-edge rows fall back to the per-window path in-process)")
     p.add_argument("--geneFile", required=True, help="closest-gene association file")
     p.add_argument("--model_save_file", default=None)
     p.add_argument("--modelList", default=None)

@@ -247,11 +247,18 @@ def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -
     seq = _EXCHANGE_SEQ
     _EXCHANGE_SEQ += 1
     path = os.path.join(tmp_dir, f".exchange_{tag}.{seq:04d}.npz")
-    np.savez(shard_path(path), **arrays)
+    own = shard_path(path)
+    np.savez(own, **arrays)
     barrier(f"exchange.{tag}.written")
     shards = list_shards(path)
     per_key: dict[str, list[np.ndarray]] = {}
     for s in shards:
+        if os.path.abspath(s) == os.path.abspath(own):
+            # this host's block is already in memory — skip re-reading ~1/W
+            # of the payload over the shared filesystem
+            for k, v in arrays.items():
+                per_key.setdefault(k, []).append(v)
+            continue
         with np.load(s) as f:
             for k in f.files:
                 per_key.setdefault(k, []).append(f[k])

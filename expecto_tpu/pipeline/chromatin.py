@@ -356,8 +356,12 @@ def compute_variant_chromatin_effects(
 
     span_capable = hasattr(runner, "predict_span_codes")
     # eligibility is likewise evaluated on the full table so every host
-    # reaches the same use_spans='always' verdict
-    span_ok = _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize)
+    # reaches the same use_spans='always' verdict; skip the full-table pass
+    # entirely when the window path is forced and nothing consults the mask
+    if use_spans == "never" or not span_capable:
+        span_ok = np.zeros(n, dtype=bool)
+    else:
+        span_ok = _span_eligible(genome, chroms, positions, refs, alts, maxshift, inputsize)
     if use_spans == "always":
         if not span_capable:
             raise ValueError("runner lacks predict_span_codes; use_spans='always' is unavailable")

@@ -111,6 +111,34 @@ def align_variants_with_genes(
     )
 
 
+def _host_slice_inputs(inputs: SedInputs) -> SedInputs:
+    """This host's contiguous (variant, gene) row block of the aligned
+    inputs — the host_row_range slicing shared by every distributed scorer
+    (score_sed / score_sed_multimodel / score_sed_serving)."""
+    from ..parallel import dist
+
+    lo, hi = dist.host_row_range(inputs.coor.shape[0])
+    return SedInputs(
+        coor=inputs.coor.iloc[lo:hi],
+        dist=inputs.dist[lo:hi],
+        strand=inputs.strand[lo:hi],
+        genename=inputs.genename[lo:hi],
+        effects={k: v[:, lo:hi] for k, v in inputs.effects.items()},
+    )
+
+
+def _primary_write(distributed: bool, barrier_tag: str, write_fn) -> None:
+    """Primary-only output write + closing barrier — the end-of-scorer
+    pattern shared by every distributed scorer (all hosts hold the full
+    merged table after the exchange; exactly one writes it)."""
+    from ..parallel import dist
+
+    if not distributed or dist.is_primary():
+        write_fn()
+    if distributed:
+        dist.barrier(barrier_tag)
+
+
 def _project(inputs: SedInputs, maxshift: int, keep_mask: np.ndarray | None, n_tracks: int, keys=None):
     basis = variant_basis(inputs.dist, inputs.strand, variant_shifts(maxshift))  # (S, M, 10)
     use = inputs.effects if keys is None else {k: inputs.effects[k] for k in keys}
@@ -167,17 +195,7 @@ def score_sed(
 
     _rank, world = dist.process_info()
     distributed = distribute and world > 1 and out_dir is not None
-    if distributed:
-        lo, hi = dist.host_row_range(inputs.coor.shape[0])
-        local = SedInputs(
-            coor=inputs.coor.iloc[lo:hi],
-            dist=inputs.dist[lo:hi],
-            strand=inputs.strand[lo:hi],
-            genename=inputs.genename[lo:hi],
-            effects={k: v[:, lo:hi] for k, v in inputs.effects.items()},
-        )
-    else:
-        local = inputs
+    local = _host_slice_inputs(inputs) if distributed else inputs
 
     have_refalt = "ref" in inputs.effects and "alt" in inputs.effects
     # fork-schema inputs (diff/ref/alt) report SED = ALT - REF only
@@ -233,13 +251,15 @@ def score_sed(
     by_prop["SED_PROPORTION"] = prop
     by_prop = by_prop.sort_values(by="SED_PROPORTION", ascending=False)
 
-    if out_dir is not None and (not distributed or dist.is_primary()):
-        os.makedirs(out_dir, exist_ok=True)
-        df.to_csv(os.path.join(out_dir, "sed.tsv"), header=True, sep="\t", index=False)
-        by_mag.to_csv(os.path.join(out_dir, "sed_sorted_by_magnitude.tsv"), header=True, sep="\t", index=False)
-        by_prop.to_csv(os.path.join(out_dir, "sed_sorted_by_proportion.tsv"), header=True, sep="\t", index=False)
-    if distributed:
-        dist.barrier("sed.outputs_written")
+    if out_dir is not None:
+
+        def _write():
+            os.makedirs(out_dir, exist_ok=True)
+            df.to_csv(os.path.join(out_dir, "sed.tsv"), header=True, sep="\t", index=False)
+            by_mag.to_csv(os.path.join(out_dir, "sed_sorted_by_magnitude.tsv"), header=True, sep="\t", index=False)
+            by_prop.to_csv(os.path.join(out_dir, "sed_sorted_by_proportion.tsv"), header=True, sep="\t", index=False)
+
+        _primary_write(distributed, "sed.outputs_written", _write)
 
     return SedResult(table=df, sorted_by_magnitude=by_mag, sorted_by_proportion=by_prop)
 
@@ -361,11 +381,8 @@ def score_sed_serving(
 
     _rank, world = dist.process_info()
     distributed = distribute and world > 1 and output_csv is not None
-    if distributed:
-        lo, hi = dist.host_row_range(inputs.coor.shape[0])
-        loc_coor, loc_dist, loc_strand = inputs.coor.iloc[lo:hi], inputs.dist[lo:hi], inputs.strand[lo:hi]
-    else:
-        loc_coor, loc_dist, loc_strand = inputs.coor, inputs.dist, inputs.strand
+    local = _host_slice_inputs(inputs) if distributed else inputs
+    loc_coor, loc_dist, loc_strand = local.coor, local.dist, local.strand
 
     shifts = _shifts_fn(maxshift)
     offsets = tuple(sh + maxshift for sh in shifts)
@@ -513,10 +530,8 @@ def score_sed_serving(
         # the device-computed difference, not ALT - REF re-derived on host
         # (which would re-introduce fp32 cancellation on small effects)
         df[name] = SED[:, j]
-    if output_csv is not None and (not distributed or dist.is_primary()):
-        df.to_csv(output_csv, header=True, index=False)
-    if distributed:
-        dist.barrier("sed_serving.written")
+    if output_csv is not None:
+        _primary_write(distributed, "sed_serving.written", lambda: df.to_csv(output_csv, header=True, index=False))
     return df
 
 
@@ -610,17 +625,7 @@ def score_sed_multimodel(
 
     _rank, world = dist.process_info()
     distributed = distribute and world > 1 and output_csv is not None
-    if distributed:
-        lo, hi = dist.host_row_range(inputs.coor.shape[0])
-        local = SedInputs(
-            coor=inputs.coor.iloc[lo:hi],
-            dist=inputs.dist[lo:hi],
-            strand=inputs.strand[lo:hi],
-            genename=inputs.genename[lo:hi],
-            effects={k: v[:, lo:hi] for k, v in inputs.effects.items()},
-        )
-    else:
-        local = inputs
+    local = _host_slice_inputs(inputs) if distributed else inputs
     feats = _project(local, maxshift, keep_mask, n_tracks, keys=("diff",))
 
     models = [load_expression_model(p) for p in model_paths]
@@ -645,8 +650,6 @@ def score_sed_multimodel(
     names = model_names or [os.path.basename(p) for p in model_paths]
     for j, name in enumerate(names):
         df[name] = sed_all[:, j]
-    if output_csv is not None and (not distributed or dist.is_primary()):
-        df.to_csv(output_csv, header=True, index=False)
-    if distributed:
-        dist.barrier("sed_multimodel.written")
+    if output_csv is not None:
+        _primary_write(distributed, "sed_multimodel.written", lambda: df.to_csv(output_csv, header=True, index=False))
     return df
