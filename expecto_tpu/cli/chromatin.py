@@ -17,6 +17,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("inputfile", type=str, help="Input file in vcf format")
     p.add_argument("--hg38", action="store_true", help="Lift variants from hg38 to hg19 (requires --chain_file)")
     p.add_argument("--chain_file", type=str, default=None, help="UCSC hg38->hg19 over.chain[.gz] for --hg38")
+    p.add_argument("--strict_liftover", action="store_true",
+                   help="reference-parity liftover: abort when a position has multiple chain "
+                        "mappings (chromatin.py:128) instead of taking the top-scoring chain")
     p.add_argument("--chunk_size", type=int, default=int(1e5))
     p.add_argument("--chunk_i", type=int, default=None)
     p.add_argument("--maxshift", type=int, default=800)
@@ -62,7 +65,7 @@ def main(argv=None) -> int:
         from ..genome.liftover import ChainLiftover, liftover_vcf
 
         print("Lifting over to hg19...")
-        lifted, failed = liftover_vcf(vcf, ChainLiftover(args.chain_file))
+        lifted, failed = liftover_vcf(vcf, ChainLiftover(args.chain_file), strict=args.strict_liftover)
         print(f"Failed to lift {int(failed.sum())} variants from hg38 to hg19")
         if dist.is_primary():  # every host holds the full table; one writer
             vcf[failed].to_csv(f"{args.output_dir}/not_lifted.vcf", sep="\t", header=False, index=False)

@@ -127,9 +127,15 @@ class ChainLiftover:
 FAILED_LIFTOVER_VALUE = -1
 
 
-def liftover_vcf(vcf, converter: ChainLiftover):
+def liftover_vcf(vcf, converter: ChainLiftover, *, strict: bool = False):
     """Lift a VCF DataFrame's coordinates; failed rows get -1/-1
     (reference chromatin.py:120-135,217-229).
+
+    ``strict=False`` (default) resolves positions with multiple overlapping
+    chain mappings to the top-scoring chain with a warning — a documented
+    improvement over the reference, which ``assert``s there and dies
+    (chromatin.py:128). ``strict=True`` selects parity mode: the reference's
+    abort is reproduced as an AssertionError naming the offending position.
 
     Returns (lifted_df, failed_mask).
     """
@@ -142,6 +148,15 @@ def liftover_vcf(vcf, converter: ChainLiftover):
     for chrom, pos in zip(vcf.iloc[:, 0], vcf.iloc[:, 1]):
         coords = converter.convert_coordinate(str(chrom), int(pos))
         if len(coords) > 1:
+            if strict:
+                # reference parity: chromatin.py:128 asserts
+                # len(coords) <= 1 and aborts the run
+                raise AssertionError(
+                    f"Liftover of variant {chrom}:{pos} returned {len(coords)} "
+                    "mappings (strict/parity mode reproduces the reference's "
+                    "abort; rerun without --strict_liftover to take the "
+                    "top-scoring chain instead)"
+                )
             # overlapping chains (main + alt mappings) are legitimate in real
             # UCSC chain files; take the top-scoring mapping (the list is
             # score-sorted) rather than aborting the whole chunk — the

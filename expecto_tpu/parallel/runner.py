@@ -139,14 +139,19 @@ class BelugaRunner:
         self._batch_sharding = NamedSharding(self.mesh, P(DATA_AXIS))
         jnp_out = jnp.float16 if self.out_dtype == np.float16 else jnp.float32
 
-        @functools.partial(jax.jit, static_argnames=("with_rc",), out_shardings=self._batch_sharding)
-        def _forward(params, codes, with_rc: bool):
+        @functools.partial(jax.jit, static_argnames=("with_rc", "out"), out_shardings=self._batch_sharding)
+        def _forward(params, codes, with_rc: bool, out=None):
+            # `out`: optional fetch-dtype override (jnp dtype). The serving
+            # window-fallback path forces float32 here so its HOST-side
+            # ALT - REF differencing never operates on independently
+            # fp16-rounded sides (ADVICE r3).
+            o = jnp_out if out is None else out
             x = onehot_from_codes(codes, dtype=compute_dtype)
             if with_rc:
                 y = beluga_forward(params, x, precision=precision).astype(jnp.float32)
                 y_rc = beluga_forward(params, rc_onehot(x), precision=precision).astype(jnp.float32)
-                return ((y + y_rc) * 0.5).astype(jnp_out)
-            return beluga_forward(params, x, precision=precision).astype(jnp_out)
+                return ((y + y_rc) * 0.5).astype(o)
+            return beluga_forward(params, x, precision=precision).astype(o)
 
         self._forward = _forward
 
@@ -413,21 +418,27 @@ class BelugaRunner:
     def _batches(self, codes: np.ndarray):
         return self._span_batches(codes, self.batch_size)
 
-    def predict_codes(self, codes: np.ndarray, *, average_rc: bool = False) -> np.ndarray:
+    def predict_codes(self, codes: np.ndarray, *, average_rc: bool = False, out_dtype=None) -> np.ndarray:
         """Run Beluga over int8 base codes (N, 2000) -> (N, 2002).
 
         ``average_rc=True`` computes the forward/reverse-complement average on
         device ((fwd + rc)/2, the consumer-side operation of
         predict.py:183-194) without shipping 2N windows.
+
+        ``out_dtype`` overrides the runner's fetch dtype for this call —
+        callers that difference the predictions on host pass ``np.float32``
+        so small effects never ride independently fp16-rounded sides.
         """
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
-        out = np.empty((n, 2002), dtype=self.out_dtype)
+        fetch_dtype = self.out_dtype if out_dtype is None else np.dtype(out_dtype)
+        jnp_over = None if out_dtype is None else (jnp.float16 if fetch_dtype == np.float16 else jnp.float32)
+        out = np.empty((n, 2002), dtype=fetch_dtype)
 
         def jobs():
             for start, real, chunk in self._batches(codes):
                 dev = jax.device_put(chunk, self._batch_sharding)
-                yield start, real, self._forward(self.params, dev, with_rc=average_rc)
+                yield start, real, self._forward(self.params, dev, with_rc=average_rc, out=jnp_over)
 
         self._run_pipelined(jobs(), lambda s, r, y: out.__setitem__(slice(s, s + r), np.asarray(y)[:r]))
         return out

@@ -306,7 +306,12 @@ def _score_rows_via_windows(genome, runner, chroms, positions, refs, alts, shift
         [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
         axis=0,
     )
-    preds = runner.predict_codes(fused).astype(np.float32)
+    # fp32 wire regardless of the runner's production fetch dtype: SED is
+    # differenced on HOST below, and differencing independently fp16-rounded
+    # REF/ALT sides would bury small effects under uncorrelated rounding
+    # noise (the hazard the fused kernels avoid by device-side ALT - REF;
+    # ADVICE r3). Fallback rows are rare, so the fp32 wire costs nothing.
+    preds = runner.predict_codes(fused, out_dtype=np.float32).astype(np.float32)
     blocks = preds.reshape(4, n_shifts, u, preds.shape[-1])
     # fwd/RC averaged like the h5 consumer (predict.py:183-194)
     p_ref = (blocks[0] + blocks[2]) * 0.5  # (S, u, M)

@@ -1,6 +1,9 @@
 """gblinear trainer/predictor: convergence to the ridge solution, format
 round-trips, sharded-training equality."""
 
+import os
+import struct
+
 import numpy as np
 import pytest
 
@@ -117,6 +120,69 @@ def test_binary_roundtrip(tmp_path, ridge_problem):
     assert loaded.bias == pytest.approx(model.bias)
     assert loaded.base_score == pytest.approx(model.base_score)
     np.testing.assert_allclose(predict_gblinear(loaded, X), predict_gblinear(model, X), rtol=1e-6)
+
+
+class TestGoldenXgb07:
+    """Decoder pinned against bytes it did not write (VERDICT r3 #5).
+
+    ``tests/golden/gblinear_xgb07.save`` was assembled byte-by-byte from the
+    xgboost-0.7 struct layout (learner.cc LearnerModelParam + name_obj/
+    name_gbm strings + gbm/gblinear.cc GBLinearModelParam + uint64-counted
+    float32 weights, bias last; "binf" old-CLI magic prefix) by an
+    independent generator — NOT via save_xgb07_binary — so a symmetric
+    encode/decode bug in io/xgb.py cannot pass this test. The file's sha256
+    is asserted so the fixture can never silently drift back onto the
+    codec's own writer."""
+
+    GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "gblinear_xgb07.save")
+    SHA256 = "2a0485f045fbd10b7eaa6b71451ed19b365a634fb68bee6c3f6d2472bc3c213f"
+    # exactly-representable float32 values, so equality is exact
+    WEIGHTS = np.array([0.5, -1.25, 3.0, 0.0, -0.0078125, 1024.0, -7.5], np.float32)
+    BIAS, BASE_SCORE = 0.75, 2.0
+
+    def test_fixture_bytes_are_frozen(self):
+        import hashlib
+
+        with open(self.GOLDEN, "rb") as f:
+            data = f.read()
+        assert data[:4] == b"binf"  # exercises the magic-prefix skip
+        assert hashlib.sha256(data).hexdigest() == self.SHA256
+
+    def test_decode_golden(self):
+        model = load_xgb07_binary(self.GOLDEN)
+        np.testing.assert_array_equal(model.weight, self.WEIGHTS)
+        assert model.bias == self.BIAS
+        assert model.base_score == self.BASE_SCORE
+
+    def test_truncated_file_raises_clearly(self, tmp_path):
+        with open(self.GOLDEN, "rb") as f:
+            data = f.read()
+        # cut inside every section: header, names, gblinear param, weights
+        for cut in (3, 50, 150, 180, 290, len(data) - 4):
+            p = tmp_path / f"trunc_{cut}.save"
+            p.write_bytes(data[:cut])
+            with pytest.raises((ValueError, struct.error)):
+                load_xgb07_binary(p)
+
+    def test_corrupt_booster_name_raises(self, tmp_path):
+        with open(self.GOLDEN, "rb") as f:
+            data = f.read()
+        bad = data.replace(b"gblinear", b"gbtreeXX")
+        p = tmp_path / "badgbm.save"
+        p.write_bytes(bad)
+        with pytest.raises(ValueError, match="gbtreeXX"):
+            load_xgb07_binary(p)
+
+    def test_wrong_weight_count_raises(self, tmp_path):
+        with open(self.GOLDEN, "rb") as f:
+            data = bytearray(f.read())
+        # weight-count uint64 sits 8+4*8 bytes from the end (count + 8 floats)
+        count_off = len(data) - (8 * 4 + 8)
+        data[count_off : count_off + 8] = struct.pack("<Q", 5)
+        p = tmp_path / "badcount.save"
+        p.write_bytes(bytes(data))
+        with pytest.raises(ValueError, match="weight count"):
+            load_xgb07_binary(p)
 
 
 def test_dump_roundtrip(ridge_problem):

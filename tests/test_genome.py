@@ -199,3 +199,36 @@ class TestLiftover:
         assert list(failed) == [False, True]
         assert lifted.iloc[0, 0] == "chrB" and lifted.iloc[0, 1] == 1001
         assert lifted.iloc[1, 1] == -1
+
+    @pytest.fixture()
+    def overlapping_chain_file(self, tmp_path):
+        # two chains both covering tPos 100-150 (a main + an alt mapping):
+        # convert_coordinate returns both, score-sorted
+        text = (
+            "chain 1000 chrA 500 + 100 150 chrB 2000 + 1000 1050 1\n"
+            "50\n"
+            "\n"
+            "chain 400 chrA 500 + 100 150 chrB_alt 900 + 200 250 2\n"
+            "50\n"
+            "\n"
+        )
+        p = tmp_path / "multi.chain"
+        p.write_text(text)
+        return p
+
+    def test_multi_mapping_default_takes_top_chain(self, overlapping_chain_file):
+        lo = ChainLiftover(overlapping_chain_file)
+        vcf = pd.DataFrame([["chrA", 101, ".", "A", "T"]])
+        with pytest.warns(UserWarning, match="multiple liftover mappings"):
+            lifted, failed = liftover_vcf(vcf, lo)
+        assert not failed.any()
+        assert lifted.iloc[0, 0] == "chrB" and lifted.iloc[0, 1] == 1001
+
+    def test_multi_mapping_strict_reproduces_reference_abort(self, overlapping_chain_file):
+        """--strict_liftover parity mode: the reference asserts on multiple
+        mappings (chromatin.py:128); strict=True reproduces that abort with
+        the offending position named (VERDICT r3 #8)."""
+        lo = ChainLiftover(overlapping_chain_file)
+        vcf = pd.DataFrame([["chrA", 101, ".", "A", "T"]])
+        with pytest.raises(AssertionError, match="chrA:101.*2 mappings"):
+            liftover_vcf(vcf, lo, strict=True)

@@ -48,6 +48,19 @@ def test_fp16_output_close_to_fp32(params):
     np.testing.assert_allclose(y16, y32, atol=5e-4)
 
 
+def test_predict_codes_out_dtype_override(params):
+    """A production (fp16-fetch) runner forced to an fp32 wire must return
+    the fp32 runner's values exactly — the serving window fallback relies on
+    this to difference ALT - REF on host without fp16 rounding (ADVICE r3)."""
+    rng = np.random.default_rng(11)
+    codes = rng.integers(0, 5, size=(5, 2000), dtype=np.int8)
+    r32 = BelugaRunner(params, batch_size=8)
+    r16 = BelugaRunner(params, batch_size=8, out_dtype=np.float16)
+    forced = r16.predict_codes(codes, out_dtype=np.float32)
+    assert forced.dtype == np.float32
+    np.testing.assert_array_equal(forced, r32.predict_codes(codes))
+
+
 def test_pipelining_preserves_order(params):
     rng = np.random.default_rng(2)
     codes = rng.integers(0, 5, size=(23, 2000), dtype=np.int8)

@@ -485,6 +485,49 @@ class TestServingIndels:
         )
 
 
+    def test_window_fallback_fp32_wire_in_production_mode(self, tiny_genome, params):
+        """In production mode (fp16 fetch) the window-fallback rows must ride
+        an fp32 wire: their REF/SED must equal the parity (fp32-fetch)
+        runner's fallback output EXACTLY — host-side ALT - REF differencing
+        on independently fp16-rounded sides would bury small SED effects
+        (ADVICE r3)."""
+        import os
+        import tempfile
+
+        import pandas as pd
+
+        from expecto_tpu.io.xgb import save_xgb07_binary
+        from expecto_tpu.models.gblinear import GBLinearModel
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.sed import score_sed_serving
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        # contig-edge substitution: upstream shift windows cross the contig
+        # start -> span-ineligible -> window fallback
+        pos_edge = 900
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        vcf = pd.DataFrame([["chr1", pos_edge, ".", c1[pos_edge - 1], comp[c1[pos_edge - 1]]]])
+        gene = pd.DataFrame([["1", pos_edge - 1, pos_edge, vcf.iloc[0, 3], vcf.iloc[0, 4],
+                              "1", 8999, 9000, "+", "G0", 9000 - pos_edge]])
+
+        rng = np.random.default_rng(4)
+        model = GBLinearModel(weight=rng.normal(size=20020).astype(np.float32) * 0.05, bias=0.2, base_score=2.0)
+        np_params = jax.tree.map(np.asarray, params)
+        r32 = BelugaRunner(np_params, batch_size=32)
+        r16 = BelugaRunner(np_params, batch_size=32, out_dtype=np.float16)
+
+        with tempfile.TemporaryDirectory() as td:
+            save_xgb07_binary(model, os.path.join(td, "m.save"))
+            paths = [os.path.join(td, "m.save")]
+            out32 = score_sed_serving(vcf, gene, fa, r32, paths, maxshift=400)
+            out16 = score_sed_serving(vcf, gene, fa, r16, paths, maxshift=400)
+        # fallback rows difference on host from an fp32 wire in BOTH modes,
+        # so the values are bit-identical — not merely close
+        np.testing.assert_array_equal(out16["m.save"].values, out32["m.save"].values)
+        np.testing.assert_array_equal(out16["REF_m.save"].values, out32["REF_m.save"].values)
+
+
 class TestIncrementalPatch:
     def test_patched_phases_equal_full_forward(self, params):
         """conv6 patch of a single-base substitution == full alt forward."""
