@@ -207,14 +207,16 @@ def measure_indel_serving_variants_per_sec(runner, work, *, n_variants: int, rep
     return best
 
 
-def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_class: str, maxshift: int = 800) -> float:
+def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_class: str, maxshift: int = 800, repeats: int = 2) -> float:
     """The h5-emitting chromatin pipeline end to end on a synthetic genome:
-    host span assembly + shared-conv span kernel + full per-shift track
-    fetch (2N x 9 x 2002 — the .diff.h5 file contract, ~144 KB/variant over
-    the relay, which bounds this path well below the serving numbers).
-    ``variant_class``: 'sub' or 'indel' — since r3 both ride the same span
-    path, so the two numbers should be close (r2's per-window indel
-    fallback read 51 v/s)."""
+    host span assembly + pair-diff span kernel (diff = alt - ref in fp32 on
+    device, fetched over the fp16 wire as one stacked (ref, diff) block) +
+    host reconstruction of alt = ref + diff into the reference [fwd; rc]
+    h5 row layout. ~144 KB/variant over the relay — this path is
+    FETCH-bound (scripts/probe_relay.py), well below the serving numbers.
+    ``variant_class``: 'sub' or 'indel' — both ride the same span path, so
+    the two numbers should be close. Best-of-``repeats``: single-shot
+    timing made whichever class ran FIRST read ~25% low (r4 measurement)."""
     import tempfile
 
     import pandas as pd
@@ -243,13 +245,15 @@ def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_cla
                 rows.append(["chr1", pos, ".", seq[pos - 1 : pos + 3], seq[pos - 1]])
         vcf = pd.DataFrame(rows)
 
-        compute_variant_chromatin_effects(  # warm the concat span graph
+        compute_variant_chromatin_effects(  # warm the pair-diff span graph
             vcf.iloc[: min(8, n_variants)], fa, runner, None, maxshift=maxshift, verbose=False
         )
-        t0 = time.perf_counter()
-        compute_variant_chromatin_effects(vcf, fa, runner, None, maxshift=maxshift, verbose=False)
-        dt = time.perf_counter() - t0
-    return n_variants / dt
+        best = 0.0
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            compute_variant_chromatin_effects(vcf, fa, runner, None, maxshift=maxshift, verbose=False)
+            best = max(best, n_variants / (time.perf_counter() - t0))
+    return best
 
 
 def _consensus_cohort_seqs(n_samples: int, *, private: bool):

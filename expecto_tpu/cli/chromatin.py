@@ -90,20 +90,26 @@ def main(argv=None) -> int:
     if dist.is_primary():
         write_vcf_hg19(vcf, f"{args.output_dir}/snps_hg19.vcf")
 
+    import numpy as np
+
     params = load_params_npz(args.beluga_weights)
     runner = BelugaRunner(
         params,
         batch_size=args.batchsize,
         compute_dtype=jnp.bfloat16 if args.bf16 else jnp.float32,
         precision=jax.lax.Precision.DEFAULT if args.bf16 else jax.lax.Precision.HIGHEST,
-        # the wire stays fp32 in BOTH modes: this path stores
-        # diff = alt - ref computed on HOST (pipeline/chromatin.py), and
-        # differencing independently fp16-rounded sides would bury a
-        # ~1e-3-scale chromatin effect under ~5e-4 uncorrelated rounding
-        # noise — the exact hazard the fused serving kernel avoids by
-        # differencing in fp32 on device (runner._score_spans). fp16
-        # fetches are reserved for paths that never difference host-side
-        # (compute_features, consensus preds).
+        # --bf16 rides the fp16 wire safely since r4: the span path's
+        # diff = alt - ref is computed in fp32 ON DEVICE (pair-diff kernel,
+        # runner.predict_span_pairs_diff) before the fp16 cast, so diff
+        # keeps its relative precision through the fetch and the host
+        # reconstructs alt = ref + diff in fp32. The r3 hazard — host-side
+        # differencing of independently fp16-rounded sides burying
+        # ~1e-3-scale effects — no longer applies (the per-window fallback
+        # rows force an fp32 wire inside _run_window_path). The fetch is
+        # this path's bottleneck (~60 MB/s aggregate relay bandwidth,
+        # scripts/probe_relay.py), so halving the wire directly raises
+        # variants/s. Parity (non-bf16) mode keeps fp32 end to end.
+        out_dtype=np.float16 if args.bf16 else np.float32,
     )
     compute_variant_chromatin_effects(
         vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize,

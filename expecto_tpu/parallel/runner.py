@@ -217,6 +217,43 @@ class BelugaRunner:
 
         self._forward_spans_project_packed2 = _forward_spans_project_packed2
 
+        @functools.partial(jax.jit, static_argnames=("offsets",))
+        def _forward_spans_pair_diff(params, ref_spans, alt_spans, offsets):
+            # h5-contract wire: (ref, diff) each (R, 2, S, M) ([:, 0] fwd,
+            # [:, 1] rc). diff = alt - ref is computed in fp32 ON DEVICE, so
+            # an fp16 fetch keeps diff's RELATIVE precision — host-side
+            # differencing of independently fp16-rounded sides would bury
+            # ~1e-3-scale chromatin effects (the r3 revert's hazard); the
+            # host reconstructs alt = ref + diff in fp32
+            # (reference contract: chromatin.py:282-286).
+            def concat2(spans):
+                x = onehot_from_codes(spans, dtype=compute_dtype)
+                y = beluga_forward_spans(params, x, offsets, precision=precision).astype(jnp.float32)
+                extra = spans.shape[1] - 2000
+                rc_off = tuple(extra - o for o in offsets)
+                y_rc = beluga_forward_spans(
+                    params, x[:, ::-1, ::-1], rc_off, precision=precision
+                ).astype(jnp.float32)
+                return jnp.stack([y, y_rc], axis=1)
+
+            R = concat2(ref_spans)
+            A = concat2(alt_spans)
+            # ONE stacked output: (R, 2[ref|diff], 2[fwd|rc], S, M). The
+            # relay's per-stream bandwidth rises with transfer size
+            # (scripts/probe_relay.py), so one 2x array fetches faster than
+            # two half-size fetches.
+            return jnp.stack([R, A - R], axis=1).astype(jnp_out)
+
+        self._forward_spans_pair_diff = _forward_spans_pair_diff
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
+        def _forward_spans_pair_diff_packed2(params, packed, n_rows, n_cols, offsets, span_len):
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)
+            pair = codes.reshape(-1, 2, codes.shape[1])
+            return _forward_spans_pair_diff(params, pair[:, 0], pair[:, 1], offsets)
+
+        self._forward_spans_pair_diff_packed2 = _forward_spans_pair_diff_packed2
+
         def _pair_span_preds(params, spans, offsets):
             # fwd/RC-averaged (N, S, M) track predictions of one span batch;
             # shared by the pair kernels below
@@ -539,6 +576,22 @@ class BelugaRunner:
             rows += 1
         return rows
 
+    def _pair_rows(self, n_offsets: int) -> int:
+        """Pairs per call for the two-span kernels: each pair is TWO spans,
+        so halve the single-span row count — keeping the per-call device
+        batch (2*pairs spans) equal to the single-span paths'. Measured on
+        the chip: full-size pair chunks ran ~20-50% slower end to end
+        (doubled programs pipeline worse through the relay and the padded
+        tail chunk wastes 2x the work)."""
+        rows = self._span_rows(n_offsets)
+        pairs = max(rows // 2, 1)
+        # pairs itself must divide the mesh: the unpacked fallback ships ref
+        # and alt as SEPARATE (pairs, L) batch-sharded arrays
+        n_dev = self.mesh.devices.size
+        while pairs % n_dev:
+            pairs += 1
+        return pairs
+
     def predict_span_codes(self, span_codes: np.ndarray, offsets, *, rc_mode: str = "none") -> np.ndarray:
         """Span-amortized forward: (N, span_len) int8 codes -> per-window
         predictions for windows span[o : o+2000] at each offset.
@@ -600,6 +653,71 @@ class BelugaRunner:
         self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
         return out
 
+    def predict_span_pairs_diff(
+        self, ref_spans: np.ndarray, alt_spans: np.ndarray, offsets
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """h5-contract pair forward: (N, span_len) ref/alt spans ->
+        (ref, alt, diff), each (2N, n_offsets, 2002) float32 in the
+        reference h5 ROW LAYOUT — rows [0:N] forward, [N:2N] reverse
+        complement (expecto_utils.py:36-38) — so the per-shift h5 arrays are
+        zero-copy slices ``x[:, si]`` (no 2N-row concat per shift).
+
+        ``diff = alt - ref`` is computed in fp32 on device and fetched at the
+        runner's wire dtype, so production (fp16-fetch) mode keeps diff's
+        relative precision — the host reconstructs ``alt = ref + diff`` in
+        fp32. Spans ship 2-bit packed, interleaved per variant, like the
+        fused serving pair kernel."""
+        ref_spans = np.asarray(ref_spans, dtype=np.int8)
+        alt_spans = np.asarray(alt_spans, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n, span_len = ref_spans.shape
+        rows = self._pair_rows(len(offsets))
+        shape = (2 * n, len(offsets), 2002)
+        REF = np.empty(shape, dtype=np.float32)
+        ALT = np.empty(shape, dtype=np.float32)
+        DIFF = np.empty(shape, dtype=np.float32)
+
+        inter = np.empty((2 * n, span_len), dtype=np.int8)
+        inter[0::2] = ref_spans
+        inter[1::2] = alt_spans
+        plan = self._pack2_plan(inter, 2 * rows)
+
+        def jobs():
+            if plan is not None:
+                for start2, real2, p_chunk, r_local, c_local in self._pack2_chunks(plan, 2 * rows, 2 * n):
+                    yield start2 // 2, real2 // 2, self._forward_spans_pair_diff_packed2(
+                        self.params,
+                        jax.device_put(p_chunk, self._batch_sharding),
+                        jnp.asarray(r_local),
+                        jnp.asarray(c_local),
+                        offsets,
+                        span_len,
+                    )
+            else:
+                for start in range(0, n, rows):
+                    real = min(start + rows, n) - start
+                    pad = rows - real
+                    r_chunk = np.pad(ref_spans[start : start + real], ((0, pad), (0, 0)))
+                    a_chunk = np.pad(alt_spans[start : start + real], ((0, pad), (0, 0)))
+                    yield start, real, self._forward_spans_pair_diff(
+                        self.params,
+                        jax.device_put(r_chunk, self._batch_sharding),
+                        jax.device_put(a_chunk, self._batch_sharding),
+                        offsets,
+                    )
+
+        def write(s, r, stacked):
+            y = np.asarray(stacked)[:r]  # (r, 2[ref|diff], 2[fwd|rc], S, M) wire dtype
+            for orient, s0 in ((0, s), (1, n + s)):  # fwd rows, then rc rows
+                ref = REF[s0 : s0 + r]
+                diff = DIFF[s0 : s0 + r]
+                ref[...] = y[:, 0, orient]   # fp16 -> fp32 converts in place
+                diff[...] = y[:, 1, orient]
+                np.add(ref, diff, out=ALT[s0 : s0 + r])
+
+        self._run_pipelined(jobs(), write)
+        return REF, ALT, DIFF
+
     def score_variant_spans(
         self,
         ref_spans: np.ndarray,
@@ -624,7 +742,7 @@ class BelugaRunner:
         offsets = tuple(int(o) for o in offsets)
         n, span_len = ref_spans.shape
         k = W.shape[1]
-        rows = self._span_rows(len(offsets))
+        rows = self._pair_rows(len(offsets))
         W_dev = jnp.asarray(W, dtype=jnp.float32)
         bias_dev = jnp.asarray(bias, dtype=jnp.float32)
         REF = np.empty((n, k), dtype=np.float32)
@@ -838,7 +956,7 @@ class BelugaRunner:
         n_u, span_len = ref_spans_u.shape
         n_rows_total = row_uidx.shape[0]
         k = W.shape[1]
-        rows = self._span_rows(len(offsets))
+        rows = self._pair_rows(len(offsets))
 
         inter = np.empty((2 * n_u, span_len), dtype=np.int8)
         inter[0::2] = ref_spans_u

@@ -243,24 +243,37 @@ def assemble_variant_spans(
 def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
     """Fast path for span-eligible variants (substitutions AND indels): one
     spliced span per allele (see :func:`assemble_variant_spans`), conv
-    shared across shifts. Returns {shift: (ref_rows, alt_rows)} with the
-    reference row layout [fwd; rc]."""
+    shared across shifts. Returns {shift: (ref_rows, alt_rows, diff_rows)}
+    with the reference row layout [fwd; rc].
+
+    ``diff = alt - ref`` comes from the device in fp32 (the pair-diff
+    kernel), so production (fp16-wire) mode keeps diff's relative precision
+    instead of differencing fp16-rounded sides on host."""
     n = len(chroms)
     offsets = tuple(s + maxshift for s in shifts)
     ref_spans, alt_spans = assemble_variant_spans(genome, chroms, positions, refs, alts, maxshift, inputsize)
+    out = {}
+    if hasattr(runner, "predict_span_pairs_diff"):
+        # (2n, S, M) each, already in the reference [fwd; rc] row layout —
+        # per-shift arrays are zero-copy views
+        ref, alt, diff = runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets)
+        for si, shift in enumerate(shifts):
+            out[shift] = (ref[:, si], alt[:, si], diff[:, si])
+        return out
     both = np.concatenate([ref_spans, alt_spans], axis=0)
     preds = runner.predict_span_codes(both, offsets, rc_mode="concat")  # (2n, 2, S, M)
-    out = {}
     for si, shift in enumerate(shifts):
         ref_rows = np.concatenate([preds[:n, 0, si], preds[:n, 1, si]], axis=0).astype(np.float32)
         alt_rows = np.concatenate([preds[n:, 0, si], preds[n:, 1, si]], axis=0).astype(np.float32)
-        out[shift] = (ref_rows, alt_rows)
+        out[shift] = (ref_rows, alt_rows, alt_rows - ref_rows)
     return out
 
 
 def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize):
-    """General path (indels): per-shift window fetch + splice (reference
-    semantics), fused ref/alt/fwd/rc device batches."""
+    """General path (contig-edge rows, beyond-slack indels): per-shift window
+    fetch + splice (reference semantics), fused ref/alt/fwd/rc device
+    batches. The wire is forced to fp32 because diff is differenced on HOST
+    here — fp16-rounded sides would bury small effects (ADVICE r3)."""
     n = len(chroms)
     out = {}
     for shift in shifts:
@@ -275,11 +288,10 @@ def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inpu
             [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
             axis=0,
         )
-        preds = runner.predict_codes(fused).astype(np.float32)
-        out[shift] = (
-            np.concatenate([preds[:n], preds[2 * n : 3 * n]], axis=0),
-            np.concatenate([preds[n : 2 * n], preds[3 * n :]], axis=0),
-        )
+        preds = runner.predict_codes(fused, out_dtype=np.float32).astype(np.float32)
+        ref_rows = np.concatenate([preds[:n], preds[2 * n : 3 * n]], axis=0)
+        alt_rows = np.concatenate([preds[n : 2 * n], preds[3 * n :]], axis=0)
+        out[shift] = (ref_rows, alt_rows, alt_rows - ref_rows)
     return out
 
 
@@ -383,7 +395,7 @@ def compute_variant_chromatin_effects(
         from ..models.beluga import BELUGA_N_TRACKS
 
         empty = np.zeros((0, BELUGA_N_TRACKS), np.float32)
-        per_shift = {shift: (empty, empty) for shift in shifts}
+        per_shift = {shift: (empty, empty, empty) for shift in shifts}
     elif use_spans == "never" or not span_capable:
         per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
     elif span_ok.all():
@@ -403,22 +415,21 @@ def compute_variant_chromatin_effects(
         )
         per_shift = {}
         for shift in shifts:
-            rows = {}
-            for name, src_s, src_i in (("ref", ps_sub[shift][0], ps_ind[shift][0]),
-                                        ("alt", ps_sub[shift][1], ps_ind[shift][1])):
+            merged_all = []
+            for k in range(3):  # ref, alt, diff — diff merges exactly like the sides
+                src_s, src_i = ps_sub[shift][k], ps_ind[shift][k]
                 merged = np.empty((2 * n, src_s.shape[1]), dtype=np.float32)
                 merged[sub], merged[n + sub] = src_s[: len(sub)], src_s[len(sub) :]
                 merged[ind], merged[n + ind] = src_i[: len(ind)], src_i[len(ind) :]
-                rows[name] = merged
-            per_shift[shift] = (rows["ref"], rows["alt"])
+                merged_all.append(merged)
+            per_shift[shift] = tuple(merged_all)
     else:
         per_shift = _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inputsize)
 
     arrays: dict = {}
     h5_paths: list[str] = []
     for shift in shifts:
-        ref_rows, alt_rows = per_shift[shift]
-        diff = alt_rows - ref_rows
+        ref_rows, alt_rows, diff = per_shift[shift]
         if output_dir is not None:
             path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
             h5_paths.append(path)
