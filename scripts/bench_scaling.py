@@ -24,6 +24,10 @@ def main() -> int:
     ap.add_argument("--cpu-mesh", action="store_true", help="virtual CPU mesh (mechanism validation)")
     ap.add_argument("--n-variants", type=int, default=None)
     ap.add_argument("--maxshift", type=int, default=800)
+    ap.add_argument("--out", type=str, default=None,
+                    help="merge this run's results into a versioned JSON artifact "
+                         "(e.g. SCALING_r04.json) under the key 'tpu' or 'cpu_mesh' — "
+                         "the per-round scaling record VERDICT r3 #4 asks for")
     args = ap.parse_args()
 
     if args.cpu_mesh:
@@ -74,6 +78,7 @@ def main() -> int:
 
     sizes = [s for s in (1, 2, 4, 8) if s <= n_dev_total]
     prev = None
+    results = []
     for n_dev in sizes:
         runner = BelugaRunner(
             params,
@@ -105,8 +110,34 @@ def main() -> int:
                 if not np.allclose(REF, prev[0], atol=5e-2) or not np.allclose(ALT, prev[1], atol=5e-2):
                     raise AssertionError(f"mesh size {n_dev} changed results beyond bf16 tolerance")
         prev = (REF, ALT)
-        print(json.dumps({"mesh_devices": n_dev, "variants_per_sec": round(n_variants / dt, 2)}))
+        rec = {"mesh_devices": n_dev, "variants_per_sec": round(n_variants / dt, 2)}
+        results.append(rec)
+        print(json.dumps(rec))
     print("results identical across mesh sizes: OK")
+
+    if args.out:
+        key = "cpu_mesh" if args.cpu_mesh else "tpu"
+        artifact = {}
+        if os.path.exists(args.out):
+            with open(args.out) as f:
+                artifact = json.load(f)
+        artifact[key] = {
+            "platform": jax.devices()[0].platform,
+            "n_variants": n_variants,
+            "maxshift": args.maxshift,
+            "mesh_sizes": results,
+            "results_identical_across_mesh_sizes": True,
+            "definition": (
+                "end-to-end score_variant_spans_packed call (host packing + "
+                "transfer + fused serving kernel + scalar fetch), single shot "
+                "after a full-size warm chunk; cpu_mesh validates the sharded "
+                "program's mechanism (fp32-HIGHEST equality across 1/2/4/8 "
+                "virtual devices), not speed"
+            ),
+        }
+        with open(args.out, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"wrote {key} section -> {args.out}")
     return 0
 
 
