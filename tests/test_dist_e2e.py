@@ -386,6 +386,68 @@ def test_consensus_cli_two_process_matches_single(tmp_path, weights_npz):
                         assert list(f1[key][...]) == list(f2[key][...]), f"{g}/{name}/{key}"
 
 
+def test_top_eqtl_consensus_two_process_matches_single(tmp_path, weights_npz):
+    """The top-eQTL consensus predictor (C18 gz-layout variant) shards its
+    gene list per host like the main C18 path (VERDICT r3 #6): per-gene h5
+    sets from a 2-process group must agree with the 1-process run. (C20
+    sed_for_top_eqtls stays single-host by design — scope note in its
+    docstring: a handful of eQTLs whose one-DataFrame output would cost
+    more to exchange than to compute.)"""
+    import gzip
+
+    import pandas as pd
+
+    from expecto_tpu.io.xgb import save_xgb07_binary
+    from expecto_tpu.models.gblinear import GBLinearModel
+    from expecto_tpu.pipeline.consensus import ENFORMER_SEQ_LENGTH
+
+    rng = np.random.default_rng(33)
+    bases = np.array(list("ACGT"))
+    cdir = tmp_path / "consensus"
+    genes = ["hla-b", "hla-c"]
+    for gi, gene in enumerate(genes):
+        os.makedirs(cdir / gene)
+        start = 5000 + gi * 100000
+        rec_base = f"chr6:{start}-{start + ENFORMER_SEQ_LENGTH - 1}"
+        with gzip.open(cdir / gene / f"{gene}.fa.gz", "wt") as f:
+            for sample, strand in [("NA1", "+"), ("NA2", "-")]:
+                seq = "".join(bases[rng.integers(0, 4, ENFORMER_SEQ_LENGTH)])
+                f.write(f">{rec_base}|{sample}|{strand}|1pIu\n{seq}\n")
+    eqtls = pd.DataFrame({
+        "name": [g.upper() for g in genes], "geneID": ["ENSG1", "ENSG2"],
+        "CHR_SNP": [6, 6], "SNPpos": [31324000, 31238000],
+    })
+    eqtls.to_csv(tmp_path / "eqtls.csv", index=False)
+    pd.DataFrame({
+        0: ["chr6", "chr6"], 1: [31324000, 31238000], 2: ["rs1", "rs2"],
+        3: ["A", "C"], 4: ["G", "T"],
+    }).to_csv(tmp_path / "snps.vcf", sep="\t", header=False, index=False)
+    model_path = tmp_path / "m.save"
+    save_xgb07_binary(
+        GBLinearModel(weight=(np.random.default_rng(1).normal(size=20030) * 0.001).astype(np.float32),
+                      bias=0.1, base_score=2.0),
+        model_path,
+    )
+
+    base = {"cmd": "top-eqtls", "model": str(model_path), "consensus_dir": str(cdir),
+            "eqtls_df": str(tmp_path / "eqtls.csv"), "snps_vcf": str(tmp_path / "snps.vcf"),
+            "genes": "HLA-B,HLA-C", "weights": weights_npz, "batchsize": 800}
+    s_dir, d_dir = str(tmp_path / "single"), str(tmp_path / "dist")
+    _run_single("consensus", {**base, "out_dir": s_dir}, timeout=1800)
+    _run_group("consensus", [{**base, "out_dir": d_dir}] * 2, timeout=1800)
+
+    assert sorted(os.listdir(d_dir)) == sorted(os.listdir(s_dir)) == sorted(genes)
+    for g in genes:
+        with h5py.File(os.path.join(s_dir, g, f"{g}.h5")) as f1, \
+                h5py.File(os.path.join(d_dir, g, f"{g}.h5")) as f2:
+            assert sorted(f1.keys()) == sorted(f2.keys()) == ["preds", "record_ids", "seqs"]
+            np.testing.assert_allclose(
+                np.asarray(f2["preds"]), np.asarray(f1["preds"]), atol=1e-4, rtol=1e-5
+            )
+            for key in ("record_ids", "seqs"):
+                assert list(f1[key][...]) == list(f2[key][...]), f"{g}/{key}"
+
+
 def test_gblinear_two_process_real_shape(tmp_path):
     """Row-sharded training across a real 2-process group at the production
     feature width (18k genes x 20,020 features): psum-reduced gradient sums
