@@ -23,16 +23,18 @@ artifact (VERDICT r1 #2/#6):
       score_sed_serving routes indels through since r3), directly
       comparable to the substitution headline;
     - ``indel_h5_variants_per_sec`` / ``sub_h5_variants_per_sec``: the
-      h5-emitting chromatin pipeline end to end (span assembly + kernel +
-      the full 2Nx9x2002 track fetch the .diff.h5 contract requires) —
-      fetch-bound over the relay for BOTH classes, and near-equal since
-      indels ride the same span path;
+      h5-emitting chromatin pipeline end to end (span assembly + pair-diff
+      kernel with device-side diff + the full 2Nx9x2002 track fetch the
+      .diff.h5 contract requires, (ref, diff) fp16 over two concurrent
+      streams) — fetch-bound over the relay for BOTH classes, and
+      near-equal since indels ride the same span path;
     - ``consensus_sample_genes_per_sec``: GEUVADIS C18 cohort prediction
       with haplotype window dedup (445 samples sharing segregating sites,
       geuvadis_predict_consensus.py:26-135), best-of-3;
     - ``consensus_private_sample_genes_per_sec``: the dedup-defeating
       regime (private variant positions) bounding worst-case cohort
-      throughput;
+      throughput — relay-fetch-bound at the contractual 782 KB/sample
+      track wire (docs/ARCHITECTURE.md perf-truth table);
     - ``train_ms_per_round_256models``: warm per-round time of the
       vectorized gblinear trainer at 18k x 20,020 x 256 models.
 
