@@ -153,6 +153,69 @@ def _unique_rows(rows: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return rows[keep], inverse
 
 
+def _encode_record_spans(seqs_and_strands, shifts):
+    """Encode each record's shift-window span ONCE, grouped by span-offset
+    layout (strand flips the offset order): {offsets: (orig_indices,
+    (G, span_len) int8 spans)}. Shared by the window-dedup probe (whose
+    per-shift windows are zero-copy row slices of these spans) and the
+    span fallback path — the cohort paths previously encoded windows AND
+    spans separately (~0.25 s per 445-sample cohort gene)."""
+    by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
+    for i, (seq, strand) in enumerate(seqs_and_strands):
+        span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
+        by_offsets.setdefault(offsets, []).append((i, span))
+    return {
+        offs: (np.array([i for i, _ in items], dtype=np.int64), np.stack([sp for _, sp in items]))
+        for offs, items in by_offsets.items()
+    }
+
+
+def _predict_window_dedup_spans(runner, groups, n_records, n_shifts, budget, dtype, windowsize=2000):
+    """Per-shift-window dedup over pre-encoded record spans (see
+    :func:`_predict_window_dedup` for the redundancy rationale): windows are
+    contiguous row slices of the span arrays, so the probe costs hashing
+    only — no (R, S, 2000) window materialization. Aborts early by
+    extrapolation: if the first few shifts' unique counts project past
+    ``budget``, later shifts cannot save the crossover (cohorts of
+    mostly-distinct sequences stop paying the full probe)."""
+    uniq_blocks: list[np.ndarray] = []
+    inverse_per_shift: list[np.ndarray] = []
+    offsets_per_shift: list[int] = []
+    total = 0
+    probe_at = min(n_shifts, 4)
+    for s in range(n_shifts):
+        seen: dict[bytes, int] = {}
+        inv = np.empty(n_records, dtype=np.int64)
+        uniq_rows: list[np.ndarray] = []
+        for offs, (idx, rows) in groups.items():
+            st = offs[s]
+            win = rows[:, st : st + windowsize]
+            for k in range(win.shape[0]):
+                j = seen.setdefault(win[k].tobytes(), len(uniq_rows))
+                if j == len(uniq_rows):
+                    uniq_rows.append(win[k])
+                inv[idx[k]] = j
+        offsets_per_shift.append(total)
+        total += len(uniq_rows)
+        if total > budget:
+            return None
+        if s + 1 == probe_at and total / (s + 1) * n_shifts > budget:
+            return None
+        uniq_blocks.append(np.stack(uniq_rows))
+        inverse_per_shift.append(inv)
+
+    preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
+    out = np.empty((n_shifts, n_records, preds_uniq.shape[-1]), dtype=dtype)
+    same_dtype = preds_uniq.dtype == out.dtype
+    for s in range(n_shifts):
+        idxs = offsets_per_shift[s] + inverse_per_shift[s]
+        if same_dtype:
+            np.take(preds_uniq, idxs, axis=0, out=out[s])
+        else:
+            out[s] = preds_uniq[idxs]
+    return out.transpose(1, 0, 2)
+
+
 def _predict_window_dedup(runner, all_windows, budget, dtype):
     """Per-shift-window dedup: personal genomes differ at ~0.1% of sites, so
     each 2,000-bp shift window has only a few unique sequences across a
@@ -199,32 +262,30 @@ def _predict_window_dedup(runner, all_windows, budget, dtype):
     return out.transpose(1, 0, 2)
 
 
-def _predict_span_groups(seqs_and_strands, shifts, predict_group, out=None, *, dtype=None):
+def _predict_span_groups(seqs_and_strands, shifts, predict_group, out=None, *, dtype=None, groups=None):
     """Shared span-path scaffolding: group records by their span-offset
     layout (strand flips the offset order), predict each group's **unique**
     spans via ``predict_group(uniq_rows, offsets)``, and scatter results
     back to per-record rows of ``out``.
 
-    With ``out=None`` the result array is allocated from the first group's
+    ``groups`` passes pre-encoded spans (:func:`_encode_record_spans`) so a
+    failed window-dedup probe doesn't re-encode the cohort. With
+    ``out=None`` the result array is allocated from the first group's
     prediction shape (so the per-record width follows the runner's actual
     track/feature count instead of a hard-coded 2002)."""
     if out is None and not seqs_and_strands:
         raise ValueError("no consensus records to predict (empty record list)")
-    by_offsets: dict[tuple, list[tuple[int, np.ndarray]]] = {}
-    for i, (seq, strand) in enumerate(seqs_and_strands):
-        span, offsets = consensus_span_and_offsets(seq, strand, shifts=shifts)
-        by_offsets.setdefault(offsets, []).append((i, span))
-    for offsets, items in by_offsets.items():
-        rows = np.stack([sp for _, sp in items])
+    if groups is None:
+        groups = _encode_record_spans(seqs_and_strands, shifts)
+    for offsets, (idx, rows) in groups.items():
         uniq, inverse = _unique_rows(rows)
-        res = predict_group(uniq, offsets)
+        res = np.asarray(predict_group(uniq, offsets))
         if out is None:
             out = np.empty(
-                (len(seqs_and_strands),) + np.asarray(res).shape[1:],
+                (len(seqs_and_strands),) + res.shape[1:],
                 dtype=res.dtype if dtype is None else dtype,
             )
-        for (idx, _), j in zip(items, inverse):
-            out[idx] = res[j].astype(out.dtype)
+        out[idx] = res[inverse].astype(out.dtype, copy=False)
     return out
 
 
@@ -267,16 +328,27 @@ def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32,
     has_spans = hasattr(runner, "predict_span_codes")
 
     preds_u = None
-    all_windows = None
+    groups = None
     if window_dedup and n_u >= (8 if has_spans else 2):
-        all_windows = np.stack(
-            [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
-        )  # (n_u, S, 2000)
         # vs a span runner the fallback costs n_u spans (1 span ~= n_shifts
         # amortized windows, a lone window ~= 10x one); vs a window runner
         # any reduction below n_u * n_shifts lone windows wins
         budget = n_u * n_shifts / WINDOW_DEDUP_MIN_REDUNDANCY if has_spans else n_u * n_shifts
-        preds_u = _predict_window_dedup(runner, all_windows, budget, dtype)
+        if has_spans:
+            # encode spans once; the probe hashes zero-copy window slices
+            # and a failed probe hands the same arrays to the span path
+            groups = _encode_record_spans(uniq_records, use_shifts)
+            preds_u = _predict_window_dedup_spans(runner, groups, n_u, n_shifts, budget, dtype)
+        else:
+            all_windows = np.stack(
+                [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
+            )  # (n_u, S, 2000)
+            preds_u = _predict_window_dedup(runner, all_windows, budget, dtype)
+            if preds_u is None:
+                flat = runner.predict_codes(
+                    all_windows.reshape(-1, all_windows.shape[-1]), average_rc=True
+                ).astype(dtype)
+                preds_u = flat.reshape(n_u, n_shifts, flat.shape[-1])
 
     if preds_u is None:
         if has_spans:
@@ -285,12 +357,12 @@ def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32,
                 use_shifts,
                 lambda uniq, offsets: runner.predict_span_codes(uniq, offsets, rc_mode="average"),
                 dtype=dtype,
+                groups=groups,
             )
         else:
-            if all_windows is None:
-                all_windows = np.stack(
-                    [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
-                )
+            all_windows = np.stack(
+                [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
+            )
             flat = runner.predict_codes(
                 all_windows.reshape(-1, all_windows.shape[-1]), average_rc=True
             ).astype(dtype)

@@ -377,6 +377,57 @@ def test_window_dedup_cohort_matches_per_record_path():
     np.testing.assert_allclose(dedup, per_record, rtol=1e-5, atol=1e-6)
 
 
+def test_window_dedup_spans_probe_matches_per_record_path():
+    """The span-capable cohort probe (r4: windows hashed as zero-copy span
+    slices, no (R, S, 2000) materialization) must take the dedup path on a
+    shared-SNP cohort — including mixed strands (two span-offset groups) —
+    and match the per-record path."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_preds
+
+    class SpanWindowCountingRunner(FakeRunner):
+        def __init__(self):
+            super().__init__()
+            self.lone_windows = 0
+            self.span_rows = 0
+
+        def predict_codes(self, codes, average_rc=False):
+            self.lone_windows += codes.shape[0]
+            return super().predict_codes(codes, average_rc=average_rc)
+
+        def predict_span_codes(self, span_codes, offsets, rc_mode="none"):
+            self.span_rows += span_codes.shape[0]
+            out = []
+            for row in span_codes:
+                wins = np.stack([row[o : o + 2000] for o in offsets])
+                out.append(super().predict_codes(wins, average_rc=(rc_mode == "average")))
+            return np.stack(out)
+
+    # 90 RECORD-DISTINCT samples (a private SNP outside the covered span
+    # defeats record-level dedup) whose in-span windows still collapse to a
+    # few haplotypes; half the cohort on '-' strand so TWO span-offset
+    # groups share one per-shift dedup table
+    rng = np.random.default_rng(26)
+    backbone = list(_random_seq(rng, ENFORMER_SEQ_LENGTH))
+    tss = ENFORMER_SEQ_LENGTH // 2
+    cohort = []
+    for b in range(90):
+        seq = backbone.copy()
+        for site in (tss - 300, tss + 150):  # shared segregating sites
+            if (b >> (0 if site < tss else 1)) & 1:
+                seq[site] = "T" if seq[site] != "T" else "C"
+        private = tss + 5000 + b  # outside every shift window of TEST_SHIFTS
+        seq[private] = {"A": "C", "C": "G", "G": "T", "T": "A"}[seq[private]]
+        cohort.append(("".join(seq), "+" if b % 2 else "-"))
+    runner = SpanWindowCountingRunner()
+    dedup = _predict_consensus_preds(runner, cohort, TEST_SHIFTS)
+    assert runner.span_rows == 0, "redundant cohort must take the window-dedup path"
+    assert 0 < runner.lone_windows < 90 * len(TEST_SHIFTS) / 4
+    per_record = np.stack([
+        _predict_consensus_preds(FakeRunner(), [c], TEST_SHIFTS, window_dedup=False)[0] for c in cohort
+    ])
+    np.testing.assert_allclose(dedup, per_record, rtol=1e-5, atol=1e-6)
+
+
 def test_distinct_cohort_prefers_span_path():
     """Fully distinct records must NOT take the lone-window dedup path when
     the runner supports span-amortized prediction."""
