@@ -488,11 +488,13 @@ def main() -> None:
             )
         if _remaining() > 180:
             _PATHS["indel_h5_variants_per_sec"] = measure_h5_pipeline_variants_per_sec(
-                runner, n_variants=512 if on_chip else 2, variant_class="indel"
+                runner, n_variants=512 if on_chip else 2, variant_class="indel",
+                repeats=3 if on_chip else 1,
             )
         if _remaining() > 120:
             _PATHS["sub_h5_variants_per_sec"] = measure_h5_pipeline_variants_per_sec(
-                runner, n_variants=512 if on_chip else 2, variant_class="sub"
+                runner, n_variants=512 if on_chip else 2, variant_class="sub",
+                repeats=3 if on_chip else 1,
             )
         if _remaining() > 240:
             _PATHS["consensus_sample_genes_per_sec"] = measure_consensus_sample_genes_per_sec(
@@ -502,7 +504,7 @@ def main() -> None:
             # dedup-defeating regime (private variant positions): bounds
             # worst-case cohort throughput (VERDICT r2 weak #5)
             _PATHS["consensus_private_sample_genes_per_sec"] = measure_consensus_sample_genes_per_sec(
-                runner, n_samples=64 if on_chip else 4, private=True, repeats=2
+                runner, n_samples=64 if on_chip else 4, private=True, repeats=3
             )
         if _remaining() > 240:
             _PATHS["train_ms_per_round_256models"] = measure_train_ms_per_round(

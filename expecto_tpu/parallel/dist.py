@@ -248,12 +248,22 @@ def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -
     _EXCHANGE_SEQ += 1
     path = os.path.join(tmp_dir, f".exchange_{tag}.{seq:04d}.npz")
     own = shard_path(path)
-    # the (tag, seq) stamp rides inside the payload too: a future
-    # rank-conditional exchange that desyncs the per-process counters then
-    # fails HERE with a direct diagnostic instead of a confusing
-    # missing-shard assertion several exchanges later (ADVICE r3)
-    np.savez(own, __exchange_stamp__=np.array([f"{tag}:{seq}"]), **arrays)
+    np.savez(own, **arrays)
     barrier(f"exchange.{tag}.written")
+    # desync diagnostic at the point of failure (ADVICE r3): the (tag, seq)
+    # identity lives in the shard stem, so if some process issued an
+    # exchange the others did not, the lagging processes write a DIFFERENT
+    # stem and this stem's shard set comes up short. Name the cause here
+    # instead of letting the generic shard-set assertion fire confusingly.
+    missing = [r for r in range(world) if not os.path.exists(shard_path(path, process_index=r))]
+    if missing:
+        raise AssertionError(
+            f"exchange {tag!r} (seq {seq}) is missing shard(s) from process(es) "
+            f"{missing} after the write barrier — the per-process exchange "
+            "counters have desynced (some process issued an exchange the "
+            "others did not; exchanges must run in identical program order "
+            "on every process)"
+        )
     shards = list_shards(path)
     per_key: dict[str, list[np.ndarray]] = {}
     for s in shards:
@@ -264,17 +274,8 @@ def exchange_row_blocks(arrays: dict[str, np.ndarray], tmp_dir: str, tag: str) -
                 per_key.setdefault(k, []).append(v)
             continue
         with np.load(s) as f:
-            stamp = str(f["__exchange_stamp__"][0])
-            if stamp != f"{tag}:{seq}":
-                raise AssertionError(
-                    f"exchange shard {s} carries stamp {stamp!r}, expected {tag!r}:{seq} — "
-                    "the per-process exchange counters have desynced (some process issued "
-                    "an exchange the others did not; exchanges must run in identical "
-                    "program order on every process)"
-                )
             for k in f.files:
-                if k != "__exchange_stamp__":
-                    per_key.setdefault(k, []).append(f[k])
+                per_key.setdefault(k, []).append(f[k])
     merged = {k: np.concatenate(v, axis=0) for k, v in per_key.items()}
     barrier(f"exchange.{tag}.read")
     if is_primary():

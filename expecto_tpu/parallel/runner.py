@@ -496,7 +496,14 @@ class BelugaRunner:
         codes = np.asarray(codes, dtype=np.int8)
         n = codes.shape[0]
         fetch_dtype = self.out_dtype if out_dtype is None else np.dtype(out_dtype)
-        jnp_over = None if out_dtype is None else (jnp.float16 if fetch_dtype == np.float16 else jnp.float32)
+        # a no-op override keeps out=None so the same XLA program serves both
+        # call styles (out is a static argname — a distinct value would
+        # recompile the full forward for a bit-identical program)
+        jnp_over = (
+            None
+            if fetch_dtype == self.out_dtype
+            else (jnp.float16 if fetch_dtype == np.float16 else jnp.float32)
+        )
         out = np.empty((n, 2002), dtype=fetch_dtype)
 
         def jobs():

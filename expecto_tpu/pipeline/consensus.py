@@ -343,12 +343,9 @@ def _predict_consensus_preds(runner, seqs_and_strands, shifts, dtype=np.float32,
             all_windows = np.stack(
                 [consensus_window_codes(seq, strand, shifts=use_shifts) for seq, strand in uniq_records]
             )  # (n_u, S, 2000)
+            # with a window-only budget of n_u * n_shifts the probe cannot
+            # abort (per-shift uniques <= n_u), so preds_u is always set here
             preds_u = _predict_window_dedup(runner, all_windows, budget, dtype)
-            if preds_u is None:
-                flat = runner.predict_codes(
-                    all_windows.reshape(-1, all_windows.shape[-1]), average_rc=True
-                ).astype(dtype)
-                preds_u = flat.reshape(n_u, n_shifts, flat.shape[-1])
 
     if preds_u is None:
         if has_spans:

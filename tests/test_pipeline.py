@@ -86,6 +86,30 @@ class TestChromatinPipeline:
             np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
 
 
+class TestDuckTypedRunner:
+    def test_window_path_accepts_minimal_predict_codes_runner(self, tiny_genome, tiny_vcf):
+        """The window path must keep the minimal duck-typed runner contract
+        ``predict_codes(codes, average_rc=...)`` — the fp32-wire override is
+        only passed to runners that advertise a non-fp32 ``out_dtype``
+        (regression: r4's review caught a TypeError here)."""
+
+        class MinimalRunner:
+            def predict_codes(self, codes, average_rc=False):
+                # deterministic fp32 stand-in; no out_dtype attribute
+                return np.full((codes.shape[0], 2002), 0.25, np.float32)
+
+        fa, _ = tiny_genome
+        res = compute_variant_chromatin_effects(
+            tiny_vcf, fa, MinimalRunner(), None, maxshift=200, use_spans="never",
+            keep_arrays=True, verbose=False,
+        )
+        n = tiny_vcf.shape[0]
+        for shift in res.shifts:
+            diff, ref, alt = res.arrays[shift]
+            assert ref.shape == (2 * n, 2002)
+            np.testing.assert_array_equal(diff, np.zeros_like(diff))
+
+
 class TestSpanPathRouting:
     def test_unknown_chromosome_raises_clearly(self, tiny_genome, runner):
         """A VCF contig absent from the FASTA raises one clear ValueError on
