@@ -51,6 +51,36 @@ def _pool4_from(x, phase: int):
     return jnp.max(x[:, phase : phase + usable, :].reshape(n, usable // 4, 4, c), axis=2)
 
 
+def conv1_acts(params: BelugaParams, spans: jax.Array, *, precision=lax.Precision.HIGHEST) -> jax.Array:
+    """conv0+conv1 activations of (N, L, 4) spans -> (N, L-14, 320); element
+    ``j`` depends only on span positions [j, j+14]. Exposed separately so
+    kernels that can SHARE these two layers (the FLOP bulk) between related
+    spans — e.g. the indel ext kernel, where ref and alt conv1 are both
+    gathers of one extended span's activations — reuse the exact stack."""
+    h = _conv_relu(spans, params["conv0"], precision)
+    return _conv_relu(h, params["conv1"], precision)
+
+
+def conv6_from_conv1(
+    params: BelugaParams,
+    h: jax.Array,
+    phases,
+    *,
+    precision=lax.Precision.HIGHEST,
+) -> dict[int, jax.Array]:
+    """conv2..conv6 from conv1 activations aligned at span position 0 (the
+    pooling lattice is anchored there) -> {phase: (N, n_frames, 640)}."""
+    p1 = _pool4_from(h, 0)
+    h = _conv_relu(p1, params["conv2"], precision)
+    h = _conv_relu(h, params["conv3"], precision)
+    out = {}
+    for ph in sorted(set(int(p) for p in phases)):
+        p2 = _pool4_from(h, ph)
+        g = _conv_relu(p2, params["conv4"], precision)
+        out[ph] = _conv_relu(g, params["conv5"], precision)
+    return out
+
+
 def conv6_phases(
     params: BelugaParams,
     spans: jax.Array,
@@ -63,17 +93,9 @@ def conv6_phases(
     Returns {phase: (N, n_frames, 640)}; window at span offset ``o`` occupies
     frames [ (o//4 - ph)//4 : +106 ] of phase ``ph = (o//4) % 4``.
     """
-    h = _conv_relu(spans, params["conv0"], precision)
-    h = _conv_relu(h, params["conv1"], precision)
-    p1 = _pool4_from(h, 0)
-    h = _conv_relu(p1, params["conv2"], precision)
-    h = _conv_relu(h, params["conv3"], precision)
-    out = {}
-    for ph in sorted(set(int(p) for p in phases)):
-        p2 = _pool4_from(h, ph)
-        g = _conv_relu(p2, params["conv4"], precision)
-        out[ph] = _conv_relu(g, params["conv5"], precision)
-    return out
+    return conv6_from_conv1(
+        params, conv1_acts(params, spans, precision=precision), phases, precision=precision
+    )
 
 
 def conv6_frame_range(mutpos: int, ph: int) -> tuple[int, int]:
