@@ -99,6 +99,18 @@ def rc_onehot(x: jax.Array) -> jax.Array:
     return x[:, ::-1, ::-1]
 
 
+def fp32_wire_kw(runner) -> dict:
+    """``predict_codes`` kwargs forcing an fp32 wire on runners that would
+    otherwise fetch fp16 — host-side ALT - REF differencing must never ride
+    independently fp16-rounded sides (ADVICE r3). Duck-typed window-only
+    runners (tests' FakeRunner pattern: no ``out_dtype`` attribute, plain
+    fp32 outputs) get no extra kwarg, keeping the minimal
+    ``predict_codes(codes, average_rc=...)`` contract intact."""
+    if np.dtype(getattr(runner, "out_dtype", np.float32)) != np.float32:
+        return {"out_dtype": np.float32}
+    return {}
+
+
 class BelugaRunner:
     """Fixed-shape, mesh-sharded Beluga forward engine.
 

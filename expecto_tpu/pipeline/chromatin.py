@@ -37,7 +37,7 @@ from ..genome.encode import alleles_to_flat_codes, seqs_to_codes, reverse_comple
 from ..genome.fasta import FastaIndex
 from ..genome.windows import fetch_variant_window, variant_shifts
 from ..io.h5 import write_legacy_shift_h5, write_shift_h5
-from ..parallel.runner import BelugaRunner
+from ..parallel.runner import BelugaRunner, fp32_wire_kw
 
 
 @dataclass
@@ -240,18 +240,6 @@ def assemble_variant_spans(
     return ref_spans, alt_spans
 
 
-def _fp32_wire_kw(runner) -> dict:
-    """``predict_codes`` kwargs forcing an fp32 wire on runners that would
-    otherwise fetch fp16 — host-side ALT - REF differencing must never ride
-    independently fp16-rounded sides (ADVICE r3). Duck-typed window-only
-    runners (tests' FakeRunner pattern: no ``out_dtype`` attribute, plain
-    fp32 outputs) get no extra kwarg, keeping the minimal
-    ``predict_codes(codes, average_rc=...)`` contract intact."""
-    if np.dtype(getattr(runner, "out_dtype", np.float32)) != np.float32:
-        return {"out_dtype": np.float32}
-    return {}
-
-
 def _run_span_path(genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize):
     """Fast path for span-eligible variants (substitutions AND indels): one
     spliced span per allele (see :func:`assemble_variant_spans`), conv
@@ -300,7 +288,7 @@ def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inpu
             [ref_codes, alt_codes, reverse_complement_codes(ref_codes), reverse_complement_codes(alt_codes)],
             axis=0,
         )
-        preds = runner.predict_codes(fused, **_fp32_wire_kw(runner)).astype(np.float32)
+        preds = runner.predict_codes(fused, **fp32_wire_kw(runner)).astype(np.float32)
         ref_rows = np.concatenate([preds[:n], preds[2 * n : 3 * n]], axis=0)
         alt_rows = np.concatenate([preds[n : 2 * n], preds[3 * n :]], axis=0)
         out[shift] = (ref_rows, alt_rows, alt_rows - ref_rows)

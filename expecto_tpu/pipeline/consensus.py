@@ -170,6 +170,24 @@ def _encode_record_spans(seqs_and_strands, shifts):
     }
 
 
+def _gather_dedup_preds(runner, uniq_blocks, inverse_per_shift, offsets_per_shift, n_records, dtype):
+    """Shared dedup epilogue: predict all shifts' unique windows in one
+    batched call, then gather per (shift, record). Builds (S, R, M) so each
+    shift's gather is one contiguous write and hands back the (R, S, M)
+    transposed view (the projection path immediately re-transposes)."""
+    preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
+    n_shifts = len(uniq_blocks)
+    out = np.empty((n_shifts, n_records, preds_uniq.shape[-1]), dtype=dtype)
+    same_dtype = preds_uniq.dtype == out.dtype  # np.take(out=) needs equal dtypes
+    for s in range(n_shifts):
+        idx = offsets_per_shift[s] + inverse_per_shift[s]
+        if same_dtype:
+            np.take(preds_uniq, idx, axis=0, out=out[s])
+        else:
+            out[s] = preds_uniq[idx]
+    return out.transpose(1, 0, 2)
+
+
 def _predict_window_dedup_spans(runner, groups, n_records, n_shifts, budget, dtype, windowsize=2000):
     """Per-shift-window dedup over pre-encoded record spans (see
     :func:`_predict_window_dedup` for the redundancy rationale): windows are
@@ -204,16 +222,7 @@ def _predict_window_dedup_spans(runner, groups, n_records, n_shifts, budget, dty
         uniq_blocks.append(np.stack(uniq_rows))
         inverse_per_shift.append(inv)
 
-    preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
-    out = np.empty((n_shifts, n_records, preds_uniq.shape[-1]), dtype=dtype)
-    same_dtype = preds_uniq.dtype == out.dtype
-    for s in range(n_shifts):
-        idxs = offsets_per_shift[s] + inverse_per_shift[s]
-        if same_dtype:
-            np.take(preds_uniq, idxs, axis=0, out=out[s])
-        else:
-            out[s] = preds_uniq[idxs]
-    return out.transpose(1, 0, 2)
+    return _gather_dedup_preds(runner, uniq_blocks, inverse_per_shift, offsets_per_shift, n_records, dtype)
 
 
 def _predict_window_dedup(runner, all_windows, budget, dtype):
@@ -247,19 +256,7 @@ def _predict_window_dedup(runner, all_windows, budget, dtype):
     if total > budget:
         return None
 
-    preds_uniq = runner.predict_codes(np.concatenate(uniq_blocks, axis=0), average_rc=True)
-    # build (S, R, M) so each shift's gather is one contiguous write, then
-    # hand back the (R, S, M) transposed view (the projection path
-    # immediately re-transposes to (S, R, M) anyway)
-    out = np.empty((n_shifts, n_records, preds_uniq.shape[-1]), dtype=dtype)
-    same_dtype = preds_uniq.dtype == out.dtype  # np.take(out=) needs equal dtypes
-    for s in range(n_shifts):
-        idx = offsets_per_shift[s] + inverse_per_shift[s]
-        if same_dtype:
-            np.take(preds_uniq, idx, axis=0, out=out[s])
-        else:
-            out[s] = preds_uniq[idx]
-    return out.transpose(1, 0, 2)
+    return _gather_dedup_preds(runner, uniq_blocks, inverse_per_shift, offsets_per_shift, n_records, dtype)
 
 
 def _predict_span_groups(seqs_and_strands, shifts, predict_group, out=None, *, dtype=None, groups=None):
@@ -285,7 +282,14 @@ def _predict_span_groups(seqs_and_strands, shifts, predict_group, out=None, *, d
                 (len(seqs_and_strands),) + res.shape[1:],
                 dtype=res.dtype if dtype is None else dtype,
             )
-        out[idx] = res[inverse].astype(out.dtype, copy=False)
+        if res.shape[0] == len(idx) and np.array_equal(inverse, np.arange(len(idx))):
+            out[idx] = res  # all-distinct group: no gather temp at all
+        else:
+            # chunked scatter: `res[inverse]` in one shot would materialize
+            # a second full per-record copy (~700 MB on a 445-sample
+            # cohort-gene fallback); 64-row chunks bound the transient
+            for s in range(0, len(idx), 64):
+                out[idx[s : s + 64]] = res[inverse[s : s + 64]]
     return out
 
 
@@ -560,16 +564,18 @@ def predict_consensus_for_top_eqtls(
     eqtls_df = merge_eqtls_with_vcf(eqtls_df_file, snps_vcf)
     genes = list(REFERENCE_TOP_EQTL_GENES) if genes is None else list(genes)
 
+    distributed = False
     if distribute:
         from ..parallel import dist
 
         _rank, world = dist.process_info()
         if world > 1:
+            distributed = True
             lo, hi = dist.host_row_range(len(genes))
             genes = genes[lo:hi]
 
     iterator = genes
-    if progress:
+    if progress and (not distributed or dist.is_primary()):
         from tqdm import tqdm
 
         iterator = tqdm(genes)

@@ -311,11 +311,11 @@ def _score_rows_via_windows(genome, runner, chroms, positions, refs, alts, shift
     # REF/ALT sides would bury small effects under uncorrelated rounding
     # noise (the hazard the fused kernels avoid by device-side ALT - REF;
     # ADVICE r3). Fallback rows are rare, so the fp32 wire costs nothing.
-    # (_fp32_wire_kw keeps duck-typed fp32-only runners on the minimal
+    # (fp32_wire_kw keeps duck-typed fp32-only runners on the minimal
     # predict_codes contract.)
-    from .chromatin import _fp32_wire_kw
+    from ..parallel.runner import fp32_wire_kw
 
-    preds = runner.predict_codes(fused, **_fp32_wire_kw(runner)).astype(np.float32)
+    preds = runner.predict_codes(fused, **fp32_wire_kw(runner)).astype(np.float32)
     blocks = preds.reshape(4, n_shifts, u, preds.shape[-1])
     # fwd/RC averaged like the h5 consumer (predict.py:183-194)
     p_ref = (blocks[0] + blocks[2]) * 0.5  # (S, u, M)

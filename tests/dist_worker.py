@@ -105,27 +105,13 @@ def main() -> int:
         from expecto_tpu.cli.consensus import main as consensus_main
 
         if cfg["cmd"] == "top-eqtls":
-            args = [
-                "top-eqtls",
-                cfg["model"],
-                cfg["consensus_dir"],
-                cfg["eqtls_df"],
-                cfg["snps_vcf"],
-                "--beluga_weights", cfg["weights"],
-                "--batch_size", str(cfg["batchsize"]),
-                "--genes", cfg["genes"],
-                "-o", cfg["out_dir"],
-            ]
+            args = ["top-eqtls", cfg["model"], cfg["consensus_dir"],
+                    cfg["eqtls_df"], cfg["snps_vcf"], "--genes", cfg["genes"]]
         else:
-            args = [
-                "samples" if cfg["cmd"] == "samples" else "ref",
-                cfg["model"],
-                cfg["consensus_dir"],
-                cfg["genes_file"],
-                "--beluga_weights", cfg["weights"],
-                "--batch_size", str(cfg["batchsize"]),
-                "-o", cfg["out_dir"],
-            ]
+            args = ["samples" if cfg["cmd"] == "samples" else "ref",
+                    cfg["model"], cfg["consensus_dir"], cfg["genes_file"]]
+        args += ["--beluga_weights", cfg["weights"],
+                 "--batch_size", str(cfg["batchsize"]), "-o", cfg["out_dir"]]
         return consensus_main(args)
 
     if mode == "exchange2":
