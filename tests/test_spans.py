@@ -224,6 +224,57 @@ class TestPipelineSpanPaths:
             for a, b in zip(auto.arrays[shift], win.arrays[shift]):
                 np.testing.assert_allclose(a, b, atol=3e-5)
 
+    def test_randomized_pair_diff_fp16_wire_fuzz(self, tiny_genome, params):
+        """Production-mode fuzz for the h5 wire: the same random variant
+        classes through an fp16-fetch runner must keep diff's RELATIVE
+        precision (device-side fp32 differencing before the cast) and the
+        sides within fp16 absolute rounding, vs the fp32-parity runner —
+        across subs, insertions, deletions, and contig-edge fallback rows."""
+        import pandas as pd
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.chromatin import compute_variant_chromatin_effects
+
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        rng = np.random.default_rng(78)
+        bases = "ACGT"
+        rows = []
+        for _ in range(6):
+            pos = int(rng.integers(2000, 58000))
+            dL = int(rng.integers(-60, 61))
+            if dL == 0:
+                ref = c1[pos - 1]
+                alt = bases[(bases.index(ref) + 1) % 4]
+            elif dL > 0:
+                ref = c1[pos - 1]
+                alt = ref + "".join(rng.choice(list(bases), dL))
+            else:
+                ref = c1[pos - 1 : pos - dL]
+                alt = c1[pos - 1]
+            rows.append(["chr1", pos, ".", ref, alt])
+        rows.append(["chr1", 700, ".", c1[699], bases[(bases.index(c1[699]) + 1) % 4]])  # edge fallback
+        vcf = pd.DataFrame(rows)
+        np_params = jax.tree.map(np.asarray, params)
+        r32 = BelugaRunner(np_params, batch_size=32)
+        r16 = BelugaRunner(np_params, batch_size=32, out_dtype=np.float16)
+
+        a32 = compute_variant_chromatin_effects(
+            vcf, fa, r32, None, maxshift=200, keep_arrays=True, verbose=False
+        )
+        a16 = compute_variant_chromatin_effects(
+            vcf, fa, r16, None, maxshift=200, keep_arrays=True, verbose=False
+        )
+        for shift in a32.shifts:
+            d32, ref32, alt32 = a32.arrays[shift]
+            d16, ref16, alt16 = a16.arrays[shift]
+            # sides: fp16 absolute rounding at probability scale
+            np.testing.assert_allclose(ref16, ref32, atol=6e-4, rtol=0)
+            np.testing.assert_allclose(alt16, alt32, atol=1.2e-3, rtol=0)
+            # diff: RELATIVE precision survives the fp16 fetch — host-side
+            # differencing of fp16 sides would add ~5e-4 absolute noise and
+            # fail the atol floor on small diffs
+            np.testing.assert_allclose(d16, d32, rtol=2e-3, atol=2e-6)
+
     def test_gene_features_span_equals_fused(self, tiny_genome, params):
         from expecto_tpu.parallel.runner import BelugaRunner
         from expecto_tpu.pipeline.features import (
