@@ -673,8 +673,8 @@ class BelugaRunner:
         return out
 
     def predict_span_pairs_diff(
-        self, ref_spans: np.ndarray, alt_spans: np.ndarray, offsets
-    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        self, ref_spans: np.ndarray, alt_spans: np.ndarray, offsets, *, sink=None
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray] | None:
         """h5-contract pair forward: (N, span_len) ref/alt spans ->
         (ref, alt, diff), each (2N, n_offsets, 2002) float32 in the
         reference h5 ROW LAYOUT — rows [0:N] forward, [N:2N] reverse
@@ -685,16 +685,26 @@ class BelugaRunner:
         runner's wire dtype, so production (fp16-fetch) mode keeps diff's
         relative precision — the host reconstructs ``alt = ref + diff`` in
         fp32. Spans ship 2-bit packed, interleaved per variant, like the
-        fused serving pair kernel."""
+        fused serving pair kernel.
+
+        ``sink(start, real, ref, alt, diff)`` streams chunks instead of
+        materializing the 3x(2N, S, M) arrays (~43 GB at the reference's
+        default 1e5-variant chunk size): each call delivers fp32 arrays of
+        shape (real, 2[fwd|rc], S, M) for variant rows [start, start+real)
+        and the method returns None. Sink calls come from the fetch worker
+        threads, possibly out of order but never concurrently for the same
+        rows; a sink that serializes (e.g. h5 writes under a lock) must do
+        its own locking."""
         ref_spans = np.asarray(ref_spans, dtype=np.int8)
         alt_spans = np.asarray(alt_spans, dtype=np.int8)
         offsets = tuple(int(o) for o in offsets)
         n, span_len = ref_spans.shape
         rows = self._pair_rows(len(offsets))
-        shape = (2 * n, len(offsets), 2002)
-        REF = np.empty(shape, dtype=np.float32)
-        ALT = np.empty(shape, dtype=np.float32)
-        DIFF = np.empty(shape, dtype=np.float32)
+        if sink is None:
+            shape = (2 * n, len(offsets), 2002)
+            REF = np.empty(shape, dtype=np.float32)
+            ALT = np.empty(shape, dtype=np.float32)
+            DIFF = np.empty(shape, dtype=np.float32)
 
         inter = np.empty((2 * n, span_len), dtype=np.int8)
         inter[0::2] = ref_spans
@@ -727,6 +737,11 @@ class BelugaRunner:
 
         def write(s, r, stacked):
             y = np.asarray(stacked)[:r]  # (r, 2[ref|diff], 2[fwd|rc], S, M) wire dtype
+            if sink is not None:
+                ref = y[:, 0].astype(np.float32)   # (r, 2, S, M)
+                diff = y[:, 1].astype(np.float32)
+                sink(s, r, ref, ref + diff, diff)
+                return
             for orient, s0 in ((0, s), (1, n + s)):  # fwd rows, then rc rows
                 ref = REF[s0 : s0 + r]
                 diff = DIFF[s0 : s0 + r]
@@ -735,6 +750,8 @@ class BelugaRunner:
                 np.add(ref, diff, out=ALT[s0 : s0 + r])
 
         self._run_pipelined(jobs(), write)
+        if sink is not None:
+            return None
         return REF, ALT, DIFF
 
     def score_variant_spans(

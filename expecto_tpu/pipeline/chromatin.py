@@ -30,6 +30,7 @@ from __future__ import annotations
 import os
 from dataclasses import dataclass
 
+import h5py
 import numpy as np
 import pandas as pd
 
@@ -295,6 +296,70 @@ def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inpu
     return out
 
 
+def _run_span_path_streaming(
+    genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize,
+    output_dir, output_prefix, legacy_h5, shard_fn,
+) -> list[str]:
+    """Stream pair-diff chunks straight into preallocated per-shift h5
+    datasets. Peak host memory is a few in-flight chunks (~50 MB each)
+    instead of the 3 x (2N, S, M) float32 arrays — ~43 GB at the
+    reference's default 1e5-variant chunk size, where the bulk path cannot
+    run on a normal host (the reference's own per-shift loop peaked at
+    ~3 GB). h5 writes happen under one lock inside the fetch workers, so
+    they overlap the device compute and the other worker's fetch.
+
+    Returns the (unsharded) h5 paths written (shard_fn maps each to this
+    host's shard file in distributed runs)."""
+    import threading
+
+    from ..models.beluga import BELUGA_N_TRACKS
+
+    n = len(chroms)
+    offsets = tuple(s + maxshift for s in shifts)
+    ref_spans, alt_spans = assemble_variant_spans(genome, chroms, positions, refs, alts, maxshift, inputsize)
+
+    paths: list[str] = []
+    files = []
+    dsets = []  # per shift: {"diff": ds, "ref": ds, "alt": ds, ["pred": ds]}
+    try:
+        for shift in shifts:
+            path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
+            paths.append(path)
+            f = h5py.File(shard_fn(path), "w")
+            files.append(f)
+            d = {
+                name: f.create_dataset(name, shape=(2 * n, BELUGA_N_TRACKS), dtype=np.float32)
+                for name in ("diff", "ref", "alt")
+            }
+            if legacy_h5:
+                lpath = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5")
+                paths.append(lpath)
+                lf = h5py.File(shard_fn(lpath), "w")
+                files.append(lf)
+                d["pred"] = lf.create_dataset("pred", shape=(2 * n, BELUGA_N_TRACKS), dtype=np.float32)
+            dsets.append(d)
+
+        lock = threading.Lock()  # h5py is not thread-safe; sinks come from fetch workers
+
+        def sink(s, r, ref, alt, diff):
+            # ref/alt/diff: (r, 2[fwd|rc], S, M) fp32 for variant rows [s, s+r)
+            with lock:
+                for si in range(len(shifts)):
+                    d = dsets[si]
+                    for orient, s0 in ((0, s), (1, n + s)):
+                        d["ref"][s0 : s0 + r] = ref[:, orient, si]
+                        d["alt"][s0 : s0 + r] = alt[:, orient, si]
+                        d["diff"][s0 : s0 + r] = diff[:, orient, si]
+                        if "pred" in d:
+                            d["pred"][s0 : s0 + r] = diff[:, orient, si]
+
+        runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets, sink=sink)
+    finally:
+        for f in files:
+            f.close()
+    return paths
+
+
 def compute_variant_chromatin_effects(
     vcf: pd.DataFrame,
     genome: FastaIndex,
@@ -388,6 +453,34 @@ def compute_variant_chromatin_effects(
         chroms, positions, refs, alts = chroms[lo:hi], positions[lo:hi], refs[lo:hi], alts[lo:hi]
         span_ok = span_ok[lo:hi]
         n = hi - lo
+
+    # streaming fast path: nothing needs the in-memory arrays (h5 output
+    # only), every row is span-eligible, and the runner has the pair-diff
+    # kernel — stream chunks straight into the h5 datasets. Peak memory
+    # drops from 3 x (2N, S, M) fp32 (~43 GB at the reference's default
+    # 1e5-variant --chunk_size, where the bulk path cannot run) to a few
+    # in-flight chunks, and writes overlap compute/fetch.
+    if (
+        output_dir is not None
+        and not keep_arrays
+        and n > 0
+        and use_spans != "never"
+        and span_capable
+        and hasattr(runner, "predict_span_pairs_diff")
+        and bool(span_ok.all())
+    ):
+        h5_paths = _run_span_path_streaming(
+            genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize,
+            output_dir, output_prefix, legacy_h5,
+            (lambda p: dist.shard_path(p)) if distributed else (lambda p: p),
+        )
+        if distributed:
+            dist.barrier("chromatin.shards_written")
+            if dist.is_primary():
+                for path in h5_paths:
+                    dist.merge_sharded_h5(path, fold_axis0=2, delete_shards=True)
+            dist.barrier("chromatin.merged")
+        return result
 
     if n == 0:
         # a host can own zero rows when hosts outnumber variants; its shards

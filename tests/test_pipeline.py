@@ -86,6 +86,44 @@ class TestChromatinPipeline:
             np.testing.assert_allclose(data["diff"], want_alt - want_ref, atol=5e-6)
 
 
+class TestStreamingH5:
+    def test_streaming_h5_equals_bulk_path(self, tiny_genome, runner, tmp_path):
+        """h5-only runs (keep_arrays=False) stream pair-diff chunks straight
+        into the datasets — peak memory is a few chunks instead of
+        3 x (2N, S, M) arrays (~43 GB at the reference's default 1e5-variant
+        chunk size). The streamed files must equal the bulk path's
+        bit-for-bit (same kernel, same chunking), including the legacy
+        single-'pred' schema."""
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rows = [
+            ["chr1", 6000, ".", c1[5999], comp[c1[5999]]],            # sub
+            ["chr1", 12000, ".", c1[11999], c1[11999] + "AG"],        # insertion
+            ["chr1", 20000, ".", c1[19999 : 19999 + 4], c1[19999]],   # deletion
+        ]
+        vcf = pd.DataFrame(rows)
+
+        bulk_dir, stream_dir = tmp_path / "bulk", tmp_path / "stream"
+        # keep_arrays=True forces the bulk (in-memory) path, which also
+        # writes h5s; keep_arrays=False takes the streaming path
+        res_b = compute_variant_chromatin_effects(
+            vcf, fa, runner, bulk_dir, maxshift=200, keep_arrays=True, legacy_h5=True, verbose=False
+        )
+        res_s = compute_variant_chromatin_effects(
+            vcf, fa, runner, stream_dir, maxshift=200, legacy_h5=True, verbose=False
+        )
+        assert res_s.shifts == res_b.shifts and res_s.arrays is None
+        for shift in res_b.shifts:
+            for suffix in (f"snps.shift_{shift}.diff.h5", f"snps.shift_{shift}.legacy.diff.h5"):
+                with h5py.File(bulk_dir / suffix) as fb, h5py.File(stream_dir / suffix) as fs:
+                    assert sorted(fb.keys()) == sorted(fs.keys())
+                    for key in fb:
+                        np.testing.assert_array_equal(
+                            np.asarray(fs[key]), np.asarray(fb[key]), err_msg=f"{suffix}/{key}"
+                        )
+
+
 class TestDuckTypedRunner:
     def test_window_path_accepts_minimal_predict_codes_runner(self, tiny_genome, tiny_vcf):
         """The window path must keep the minimal duck-typed runner contract
