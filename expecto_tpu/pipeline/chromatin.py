@@ -296,8 +296,17 @@ def _run_window_path(genome, runner, chroms, positions, refs, alts, shifts, inpu
     return out
 
 
+def _h5_rows_selector(global_rows: np.ndarray):
+    """A sorted global-row index array as an h5py selection: a plain slice
+    when contiguous (the common all-eligible case — fastest), else the
+    (increasing) fancy index h5py supports."""
+    if global_rows.size and global_rows[-1] - global_rows[0] + 1 == global_rows.size:
+        return slice(int(global_rows[0]), int(global_rows[-1]) + 1)
+    return global_rows
+
+
 def _run_span_path_streaming(
-    genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize,
+    genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize, span_ok,
     output_dir, output_prefix, legacy_h5, shard_fn,
 ) -> list[str]:
     """Stream pair-diff chunks straight into preallocated per-shift h5
@@ -308,6 +317,12 @@ def _run_span_path_streaming(
     ~3 GB). h5 writes happen under one lock inside the fetch workers, so
     they overlap the device compute and the other worker's fetch.
 
+    Rows failing ``span_ok`` (contig edges, beyond-slack alleles) are
+    computed through the reference per-window path afterwards — a handful
+    of edge rows in a 1e5-variant chunk must not demote the whole chunk to
+    the in-memory bulk path — and written into the same datasets at their
+    global row positions.
+
     Returns the (unsharded) h5 paths written (shard_fn maps each to this
     host's shard file in distributed runs)."""
     import threading
@@ -316,7 +331,8 @@ def _run_span_path_streaming(
 
     n = len(chroms)
     offsets = tuple(s + maxshift for s in shifts)
-    ref_spans, alt_spans = assemble_variant_spans(genome, chroms, positions, refs, alts, maxshift, inputsize)
+    sub = np.nonzero(span_ok)[0]
+    ind = np.nonzero(~span_ok)[0]
 
     paths: list[str] = []
     files = []
@@ -341,19 +357,42 @@ def _run_span_path_streaming(
 
         lock = threading.Lock()  # h5py is not thread-safe; sinks come from fetch workers
 
+        def write_rows(global_rows, si, ref2, alt2, diff2):
+            # ref2/alt2/diff2: (r, 2[fwd|rc], M) for this shift's rows
+            d = dsets[si]
+            for orient in (0, 1):
+                sel = _h5_rows_selector(global_rows + orient * n)
+                d["ref"][sel] = ref2[:, orient]
+                d["alt"][sel] = alt2[:, orient]
+                d["diff"][sel] = diff2[:, orient]
+                if "pred" in d:
+                    d["pred"][sel] = diff2[:, orient]
+
         def sink(s, r, ref, alt, diff):
-            # ref/alt/diff: (r, 2[fwd|rc], S, M) fp32 for variant rows [s, s+r)
+            # ref/alt/diff: (r, 2[fwd|rc], S, M) fp32 for ELIGIBLE-subset
+            # rows [s, s+r) -> global variant rows sub[s : s+r]
+            rows = sub[s : s + r]
             with lock:
                 for si in range(len(shifts)):
-                    d = dsets[si]
-                    for orient, s0 in ((0, s), (1, n + s)):
-                        d["ref"][s0 : s0 + r] = ref[:, orient, si]
-                        d["alt"][s0 : s0 + r] = alt[:, orient, si]
-                        d["diff"][s0 : s0 + r] = diff[:, orient, si]
-                        if "pred" in d:
-                            d["pred"][s0 : s0 + r] = diff[:, orient, si]
+                    write_rows(rows, si, ref[..., si, :], alt[..., si, :], diff[..., si, :])
 
-        runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets, sink=sink)
+        if sub.size:
+            ref_spans, alt_spans = assemble_variant_spans(
+                genome, chroms[sub], positions[sub], refs[sub], alts[sub], maxshift, inputsize
+            )
+            runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets, sink=sink)
+
+        if ind.size:
+            # edge/out-of-slack rows: reference per-window path, in-memory
+            # (always a handful), written at their global positions
+            ps_ind = _run_window_path(
+                genome, runner, chroms[ind], positions[ind], refs[ind], alts[ind], shifts, inputsize
+            )
+            ni = len(ind)
+            for si, shift in enumerate(shifts):
+                ref_rows, alt_rows, diff_rows = ps_ind[shift]  # (2*ni, M)
+                stack = lambda a: np.stack([a[:ni], a[ni:]], axis=1)  # (ni, 2, M)
+                write_rows(ind, si, stack(ref_rows), stack(alt_rows), stack(diff_rows))
     finally:
         for f in files:
             f.close()
@@ -455,11 +494,13 @@ def compute_variant_chromatin_effects(
         n = hi - lo
 
     # streaming fast path: nothing needs the in-memory arrays (h5 output
-    # only), every row is span-eligible, and the runner has the pair-diff
-    # kernel — stream chunks straight into the h5 datasets. Peak memory
-    # drops from 3 x (2N, S, M) fp32 (~43 GB at the reference's default
-    # 1e5-variant --chunk_size, where the bulk path cannot run) to a few
-    # in-flight chunks, and writes overlap compute/fetch.
+    # only) and the runner has the pair-diff kernel — stream span-eligible
+    # rows' chunks straight into the h5 datasets (window-fallback rows are
+    # computed after and written at their positions, so a handful of edge
+    # rows never demotes the chunk). Peak memory drops from
+    # 3 x (2N, S, M) fp32 (~43 GB at the reference's default 1e5-variant
+    # --chunk_size, where the bulk path cannot run) to a few in-flight
+    # chunks, and writes overlap compute/fetch.
     if (
         output_dir is not None
         and not keep_arrays
@@ -467,10 +508,11 @@ def compute_variant_chromatin_effects(
         and use_spans != "never"
         and span_capable
         and hasattr(runner, "predict_span_pairs_diff")
-        and bool(span_ok.all())
+        and bool(span_ok.any())
     ):
         h5_paths = _run_span_path_streaming(
-            genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize,
+            genome, runner, np.asarray(chroms), np.asarray(positions), np.asarray(refs),
+            np.asarray(alts), shifts, maxshift, inputsize, span_ok,
             output_dir, output_prefix, legacy_h5,
             (lambda p: dist.shard_path(p)) if distributed else (lambda p: p),
         )

@@ -100,6 +100,7 @@ class TestStreamingH5:
         rows = [
             ["chr1", 6000, ".", c1[5999], comp[c1[5999]]],            # sub
             ["chr1", 12000, ".", c1[11999], c1[11999] + "AG"],        # insertion
+            ["chr1", 900, ".", c1[899], comp[c1[899]]],               # contig edge -> window fallback
             ["chr1", 20000, ".", c1[19999 : 19999 + 4], c1[19999]],   # deletion
         ]
         vcf = pd.DataFrame(rows)
