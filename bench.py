@@ -266,12 +266,15 @@ def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_cla
     return best
 
 
-def _consensus_cohort_seqs(n_samples: int, *, private: bool):
+def _consensus_cohort_seqs(n_samples: int, *, private: bool, n_sites: int = 42):
     """Synthetic GEUVADIS cohort for one gene. ``private=False``: biallelic
     SNPs at SHARED segregating sites (~1 SNP/kb) — the regime the haplotype
     window dedup exploits. ``private=True``: every sample mutates its own
-    random positions, defeating the dedup entirely (worst case: one span per
-    sample)."""
+    ``n_sites`` random positions, defeating the dedup entirely (worst case:
+    one span per sample). ``n_sites=42`` (~1/kb over the covered span) is
+    the adversarial bound; real cohorts carry only a handful of truly
+    private (singleton) variants per 42 kb — the regime the backbone-patch
+    kernel targets (n_sites<=8)."""
     from expecto_tpu.pipeline.consensus import ENFORMER_SEQ_LENGTH
 
     rng = np.random.default_rng(3)
@@ -283,11 +286,11 @@ def _consensus_cohort_seqs(n_samples: int, *, private: bool):
     if private:
         for _ in range(n_samples):
             arr = backbone.copy()
-            sites = rng.choice(covered, size=42, replace=False)
+            sites = rng.choice(covered, size=n_sites, replace=False)
             arr[sites] = (arr[sites] + rng.integers(1, 4, size=len(sites))) % 4
             seqs.append((bases[arr].tobytes().decode("latin-1"), "+"))
         return seqs
-    sites = rng.choice(covered, size=42, replace=False)
+    sites = rng.choice(covered, size=n_sites, replace=False)
     site_alt = (backbone[sites] + rng.integers(1, 4, size=len(sites))) % 4
     for _ in range(n_samples):
         arr = backbone.copy()
@@ -311,6 +314,28 @@ def measure_consensus_sample_genes_per_sec(runner, *, n_samples: int = 445, priv
     for _ in range(repeats):
         t0 = time.perf_counter()
         _predict_consensus_preds(runner, seqs, None, dtype=np.float16)
+        best = max(best, n_samples / (time.perf_counter() - t0))
+    return best
+
+
+def measure_consensus_featonly_sample_genes_per_sec(
+    runner, *, n_samples: int, n_sites: int = 42, repeats: int = 3
+) -> float:
+    """Features-only C18 cohort path (VERDICT r4 #1,
+    pipeline/consensus.py::_predict_consensus_features_cohort): no chromatin
+    fetch/store — decay features projected on device (~40 KB/sample fp16 wire
+    instead of the 782 KB/sample full-track fetch), backbone conv6 patching
+    when the cohort's diff density allows (n_sites<=~20 after range
+    merging). Private (dedup-defeating) cohort composition so the number is
+    directly comparable to consensus_private_sample_genes_per_sec."""
+    from expecto_tpu.pipeline.consensus import _predict_consensus_features_cohort
+
+    seqs = _consensus_cohort_seqs(n_samples, private=True, n_sites=n_sites)
+    _predict_consensus_features_cohort(runner, seqs[:8], None)  # warm
+    best = 0.0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        _predict_consensus_features_cohort(runner, seqs, None)
         best = max(best, n_samples / (time.perf_counter() - t0))
     return best
 
@@ -390,6 +415,10 @@ def measure_cpu_torch_windows_per_sec(state_dict, *, batch: int = 32, n_windows:
 
 _RESULT_PRINTED = False
 _PATHS: dict = {}
+#: link-phase indicator measured at bench start (VERDICT r4 #3): committed
+#: BENCH_r*.json numbers are only comparable round-over-round when their
+#: relay_probe blocks agree — see docs/ARCHITECTURE.md "Reading relay_probe"
+_RELAY_PROBE: dict | None = None
 #: (value, vs_baseline) of the completed primary measurement; the watchdog
 #: emits THIS when a secondary path stalls past the budget — discarding an
 #: already-measured primary for the 80.0 floor would report a false
@@ -410,6 +439,8 @@ def _emit(value: float, vs_baseline: float, *, watchdog_fallback: bool = False) 
     }
     if _PATHS:
         record["paths"] = {k: round(v, 3) for k, v in _PATHS.items()}
+    if _RELAY_PROBE is not None:
+        record["relay_probe"] = _RELAY_PROBE
     if watchdog_fallback:
         # a stalled run emits the conservative FLOOR, clearly marked — never
         # a previous run's cached number (a replayed value looks fresh and
@@ -461,6 +492,16 @@ def main() -> None:
     _arm_watchdog(_BUDGET)
     on_chip = platform != "cpu"
     n_variants = 3072 if on_chip else 4
+
+    # stamp the link phase FIRST (~10 s): every number below is only
+    # comparable across rounds relative to this block
+    global _RELAY_PROBE
+    try:
+        from expecto_tpu.utils.relay_probe import probe
+
+        _RELAY_PROBE = probe(block_mb=16 if on_chip else 1)
+    except Exception as e:  # a failed probe must not sink the bench
+        print(f"# relay probe failed: {e!r}", file=sys.stderr)
 
     runner = _make_runner(params, batch_size=2048)
     work = _variant_workload(n_variants, 800, 218)
@@ -520,6 +561,22 @@ def main() -> None:
             # worst-case cohort throughput (VERDICT r2 weak #5)
             _PATHS["consensus_private_sample_genes_per_sec"] = measure_consensus_sample_genes_per_sec(
                 runner, n_samples=64 if on_chip else 4, private=True, repeats=3
+            )
+        if _remaining() > 180:
+            # features-only C18 on the SAME adversarial cohort: the fetch
+            # wall is gone, so the private regime is compute-bound (r4 #1)
+            _PATHS["consensus_private_featonly_sample_genes_per_sec"] = (
+                measure_consensus_featonly_sample_genes_per_sec(
+                    runner, n_samples=64 if on_chip else 4, n_sites=42
+                )
+            )
+        if _remaining() > 150:
+            # realistic singleton density (a handful of private sites per
+            # 42 kb): the backbone conv6-patch kernel engages here
+            _PATHS["consensus_sparse_private_featonly_sample_genes_per_sec"] = (
+                measure_consensus_featonly_sample_genes_per_sec(
+                    runner, n_samples=64 if on_chip else 4, n_sites=4
+                )
             )
         if _remaining() > 240:
             _PATHS["train_ms_per_round_256models"] = measure_train_ms_per_round(

@@ -74,7 +74,6 @@ def main(argv=None) -> int:
     if args.allTissues and args.bootstrap_seeds:
         print("--allTissues and --bootstrap_seeds are mutually exclusive", file=sys.stderr)
         return 2
-    os.makedirs(args.output_dir, exist_ok=True)
 
     Xreducedall = np.load(args.inputFile)
     geneanno = pd.read_csv(args.annoFile)
@@ -121,6 +120,10 @@ def main(argv=None) -> int:
         eta=args.eta, reg_lambda=args.l2, reg_alpha=args.l1,
         base_score=args.base_score, num_round=args.num_round,
     )
+
+    # created only once every validation above has passed: an error exit must
+    # not litter the CWD with the reference's default `temp_expecto_model/`
+    os.makedirs(args.output_dir, exist_ok=True)
 
     if args.allTissues:
         results = train_all_tissues(
