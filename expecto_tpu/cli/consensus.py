@@ -32,6 +32,12 @@ def main(argv=None) -> int:
     sp.add_argument("--fp16_chromatin", action="store_true",
                     help="fetch + store chromatin_preds as float16 (the format compress_consensus "
                          "produces anyway); halves the dominant transfer/disk traffic")
+    sp.add_argument("--features_only", action="store_true",
+                    help="skip the {gene}_chromatin.h5 entirely: decay features are projected on "
+                         "device and the cohort rides the backbone-patched fast path — the "
+                         "private-variant regime becomes compute-bound instead of fetch-walled. "
+                         "Only the {gene}.h5 expecto_preds contract is written; incompatible "
+                         "with --exp_only")
 
     rp = sub.add_parser("ref", help="reference-haplotype predictions for all genes (C19)")
     common(rp)
@@ -81,6 +87,7 @@ def main(argv=None) -> int:
             num_chunks=args.num_chunks, chunk_i=args.chunk_i,
             genes=args.genes.split(",") if args.genes else None, progress=True,
             chromatin_dtype=np.float16 if fp16 else np.float32,
+            features_only=args.features_only,
         )
     elif args.cmd == "ref":
         c.predict_ref_all_genes(

@@ -165,6 +165,125 @@ def conv6_phases_patch(
     return out
 
 
+#: default sub-span length for multi-site patching: covers all conv6 frames
+#: whose receptive field (310 bp) touches a diff range of width <=
+#: PATCH_SUB_LEN - 672 after 16-alignment slack on both ends
+PATCH_SUB_LEN = 704
+
+
+def conv6_covering_start(a: int, b: int, span_len: int, sub_len: int, phases, frame_counts) -> int | None:
+    """16-aligned sub-span start ``s0`` such that the ``sub_len``-long
+    sub-span's conv6 frames cover EVERY frame (of every phase in ``phases``)
+    whose receptive field touches span positions ``[a, b]`` — or None when no
+    aligned start covers them (range too wide for ``sub_len``, or the span's
+    unaligned tail). Host-side planning helper for
+    :func:`conv6_phases_patch_sites`."""
+    s0 = 16 * ((a - CONV6_RF) // CONV6_STRIDE)
+    s0 = max(0, min(s0, 16 * ((span_len - sub_len) // CONV6_STRIDE)))
+    if s0 + sub_len > span_len:
+        return None
+    f0 = s0 // CONV6_STRIDE
+    for ph in sorted(set(int(p) for p in phases)):
+        f_lo, _ = conv6_frame_range(a, ph)
+        _, f_hi = conv6_frame_range(b, ph)
+        f_hi = min(f_hi, frame_counts[ph])  # exclusive
+        cnt = (sub_len - 4 * ph - CONV6_RF) // CONV6_STRIDE + 1
+        if f0 > max(f_lo, 0) or f0 + cnt < f_hi:
+            return None
+    return s0
+
+
+def conv6_patch_sites_plan(
+    diff_positions, span_len: int, phases, *, sub_len: int = PATCH_SUB_LEN, max_ranges: int = 32
+) -> list[int] | None:
+    """Greedy plan: merge sorted ``diff_positions`` (span coords where a
+    sample differs from its backbone) into <= ``max_ranges`` covering
+    sub-span starts for :func:`conv6_phases_patch_sites`. Returns None when
+    the record is not patchable (too many scattered sites — the full span
+    forward is then cheaper anyway — or an uncoverable alignment corner)."""
+    pos = sorted(int(p) for p in diff_positions)
+    if not pos:
+        return []
+    frame_counts = {
+        ph: (span_len - 4 * ph - CONV6_RF) // CONV6_STRIDE + 1
+        for ph in sorted(set(int(p) for p in phases))
+    }
+    width_max = sub_len - 672
+    starts: list[int] = []
+    a = b = pos[0]
+    for p in pos[1:] + [None]:
+        if p is not None and p - a <= width_max:
+            b = p
+            continue
+        s0 = conv6_covering_start(a, b, span_len, sub_len, phases, frame_counts)
+        if s0 is None or len(starts) >= max_ranges:
+            return None
+        starts.append(s0)
+        if p is not None:
+            a = b = p
+    return starts
+
+
+def conv6_phases_patch_sites(
+    params: BelugaParams,
+    base_phases: dict[int, jax.Array],
+    alt_spans: jax.Array,
+    range_starts: jax.Array,
+    phases,
+    *,
+    sub_len: int = PATCH_SUB_LEN,
+    precision=lax.Precision.HIGHEST,
+) -> dict[int, jax.Array]:
+    """Multi-site generalization of :func:`conv6_phases_patch` (VERDICT r4
+    #6): per-sample conv6 phase buffers built from a shared BACKBONE span's
+    buffers by recomputing only the frames around each sample's k diff
+    ranges. The workhorse of the consensus cohort's features-only fast path
+    (pipeline/consensus.py), where hundreds of personal genomes share one
+    per-gene backbone and differ at a handful of private sites each.
+
+    Args:
+        base_phases: {phase: (1 or N, F_ph, C)} backbone conv6 buffers.
+        alt_spans: (N, span_len, 4) one-hot sample spans.
+        range_starts: (N, K) int32 16-aligned sub-span starts from
+            :func:`conv6_patch_sites_plan` — every frame whose receptive
+            field touches a backbone/sample difference must be covered by
+            some range. K is static; inactive slots may point anywhere
+            (each patch recomputes frames from the SAMPLE's own span, so a
+            superfluous patch writes back identical values).
+
+    Returns {phase: (N, F_ph, C)} buffers equal (to fp reduction order) to
+    ``conv6_phases(params, alt_spans, phases)``.
+    """
+    n, span_len, _ = alt_spans.shape
+    k = range_starts.shape[1]
+    phases = sorted(set(int(p) for p in phases))
+
+    # gather the K sub-spans of every sample into one conv batch
+    def slice_sample(x_i, s_i):
+        return jax.vmap(lambda s: lax.dynamic_slice_in_dim(x_i, s, sub_len, axis=0))(s_i)
+
+    subs = jax.vmap(slice_sample)(alt_spans, range_starts)  # (N, K, sub_len, 4)
+    sub_ph = conv6_phases(
+        params, subs.reshape(n * k, sub_len, subs.shape[-1]), phases, precision=precision
+    )
+
+    f0 = range_starts // CONV6_STRIDE  # (N, K); aligned s0 keeps pool lattices in phase
+    out = {}
+    for ph in phases:
+        buf = base_phases[ph]
+        if buf.shape[0] != n:
+            buf = jnp.broadcast_to(buf, (n,) + buf.shape[-2:])
+        patches = sub_ph[ph].reshape(n, k, -1, buf.shape[-1])  # (N, K, cnt, C)
+        cnt = patches.shape[2]
+        frame_idx = f0[:, :, None] + jnp.arange(cnt, dtype=f0.dtype)[None, None, :]
+        n_idx = jnp.broadcast_to(jnp.arange(n, dtype=f0.dtype)[:, None, None], frame_idx.shape)
+        # overlapping ranges write byte-equal values (every patch frame is
+        # the conv of the sample's own bases), so duplicate-index order is
+        # irrelevant; 'drop' guards the (host-prevented) out-of-range case
+        out[ph] = buf.at[n_idx, frame_idx].set(patches.astype(buf.dtype), mode="drop")
+    return out
+
+
 def _window_starts_by_phase(offsets) -> dict[int, list[tuple[int, int]]]:
     """{phase: [(output_index, start_frame), ...]} for the shift windows."""
     per_phase: dict[int, list[tuple[int, int]]] = {}

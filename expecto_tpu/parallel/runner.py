@@ -30,10 +30,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models.beluga import beluga_forward
 from ..ops.spans import (
+    PATCH_SUB_LEN,
     beluga_forward_spans,
     conv6_patch_ranges,
     conv6_phases,
     conv6_phases_patch,
+    conv6_phases_patch_sites,
     fc1_delta_from_phases,
     fc1_pre_from_phases,
     fc_head,
@@ -228,6 +230,51 @@ class BelugaRunner:
             return _forward_spans_project(params, codes, pos_weights, offsets)
 
         self._forward_spans_project_packed2 = _forward_spans_project_packed2
+
+        @functools.partial(jax.jit, static_argnames=("offsets",))
+        def _backbone_phases(params, span_codes, offsets):
+            # (1, L) backbone codes -> (fwd, rc) conv6 phase-buffer dicts,
+            # computed ONCE per gene and reused by every patched sample chunk
+            x = onehot_from_codes(span_codes, dtype=compute_dtype)
+            extra = span_codes.shape[1] - 2000
+            rc_offsets = tuple(extra - o for o in offsets)
+            ph_f = conv6_phases(params, x, {(o // 4) % 4 for o in offsets}, precision=precision)
+            ph_r = conv6_phases(
+                params, x[:, ::-1, ::-1], {(o // 4) % 4 for o in rc_offsets}, precision=precision
+            )
+            return ph_f, ph_r
+
+        self._backbone_phases = _backbone_phases
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "sub_len"))
+        def _forward_spans_project_patch(
+            params, ph_f, ph_r, sample_spans, starts_f, starts_r, pos_weights, offsets, sub_len
+        ):
+            # Cohort fast path: per-sample conv6 buffers are the BACKBONE's
+            # with only the frames around each sample's diff ranges
+            # recomputed (ops/spans.conv6_phases_patch_sites); the dense
+            # layers and the decay projection then run per sample as in
+            # _forward_spans_project.
+            x = onehot_from_codes(sample_spans, dtype=compute_dtype)
+            extra = sample_spans.shape[1] - 2000
+            rc_offsets = tuple(extra - o for o in offsets)
+            pf = conv6_phases_patch_sites(
+                params, ph_f, x, starts_f, {(o // 4) % 4 for o in offsets},
+                sub_len=sub_len, precision=precision,
+            )
+            pr = conv6_phases_patch_sites(
+                params, ph_r, x[:, ::-1, ::-1], starts_r, {(o // 4) % 4 for o in rc_offsets},
+                sub_len=sub_len, precision=precision,
+            )
+            y = fc_from_phases(params, pf, offsets, precision=precision).astype(jnp.float32)
+            y_rc = fc_from_phases(params, pr, rc_offsets, precision=precision).astype(jnp.float32)
+            preds = (y + y_rc) * 0.5
+            feats = jnp.einsum(
+                "bs,nsm->nbm", pos_weights.astype(jnp.float32), preds, precision=precision
+            )
+            return feats.reshape(preds.shape[0], -1).astype(jnp_out)
+
+        self._forward_spans_project_patch = _forward_spans_project_patch
 
         @functools.partial(jax.jit, static_argnames=("offsets",))
         def _forward_spans_pair_diff(params, ref_spans, alt_spans, offsets):
@@ -668,6 +715,85 @@ class BelugaRunner:
                 for start, real, chunk in self._span_batches(span_codes, rows):
                     dev = jax.device_put(chunk, self._batch_sharding)
                     yield start, real, self._forward_spans_project(self.params, dev, pw, offsets)
+
+        self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
+        return out
+
+    def project_spans_backbone_patch(
+        self,
+        backbone_span: np.ndarray,
+        sample_spans: np.ndarray,
+        starts_f: np.ndarray,
+        starts_r: np.ndarray,
+        offsets,
+        pos_weights: np.ndarray,
+        *,
+        sub_len: int = PATCH_SUB_LEN,
+    ) -> np.ndarray:
+        """Cohort gene-path projection with backbone conv6 patching: the full
+        conv stack runs ONCE on the shared backbone span (both orientations);
+        each sample then recomputes only the conv6 frames around its own
+        diff ranges before the dense layers + on-device decay projection.
+        For a personal-genome cohort at ~40 private sites/sample this cuts
+        the per-sample conv FLOPs ~3x vs :meth:`predict_spans_project`
+        (which the features-only consensus path otherwise uses).
+
+        Args:
+            backbone_span: (span_len,) int8 codes of the shared backbone.
+            sample_spans: (N, span_len) int8 codes.
+            starts_f / starts_r: (N, K) int32 16-aligned sub-span starts for
+                the forward / reverse-complement orientation (host-planned
+                via ops.spans.conv6_patch_sites_plan on the forward and
+                mirrored diff positions); inactive slots hold 0 — a
+                superfluous patch recomputes frames from the sample's own
+                span and is exact by construction.
+            pos_weights: (B, S) decay basis over the offsets.
+
+        Returns (N, B*2002) float32 fwd/RC-averaged projected features,
+        matching ``predict_spans_project(sample_spans, offsets, pos_weights)``
+        up to fp reduction order.
+        """
+        backbone_span = np.asarray(backbone_span, dtype=np.int8)
+        sample_spans = np.asarray(sample_spans, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n, span_len = sample_spans.shape
+        k_in = max(np.asarray(starts_f).shape[1], np.asarray(starts_r).shape[1], 1)
+        # static K buckets in steps of 8: one program per bucket; finer than
+        # pow2 because an inactive slot still convolves real bases (a pow2
+        # bucket would waste up to half the patch compute)
+        k_pad = -(-k_in // 8) * 8
+
+        def pad_k(s):
+            s = np.asarray(s, dtype=np.int32)
+            if s.shape[1] != k_pad:
+                s = np.pad(s, ((0, 0), (0, k_pad - s.shape[1])))
+            return s
+
+        starts_f = pad_k(starts_f)
+        starts_r = pad_k(starts_r)
+        pw = jnp.asarray(pos_weights)
+        rows = self._span_rows(len(offsets))
+        out = np.empty((n, pos_weights.shape[0] * 2002), dtype=np.float32)
+        ph_f, ph_r = self._backbone_phases(self.params, jnp.asarray(backbone_span[None]), offsets)
+
+        def jobs():
+            for start in range(0, n, rows):
+                real = min(start + rows, n) - start
+                pad = rows - real
+                chunk = np.pad(sample_spans[start : start + real], ((0, pad), (0, 0)))
+                sf = np.pad(starts_f[start : start + real], ((0, pad), (0, 0)))
+                sr = np.pad(starts_r[start : start + real], ((0, pad), (0, 0)))
+                yield start, real, self._forward_spans_project_patch(
+                    self.params,
+                    ph_f,
+                    ph_r,
+                    jax.device_put(chunk, self._batch_sharding),
+                    jax.device_put(sf, self._batch_sharding),
+                    jax.device_put(sr, self._batch_sharding),
+                    pw,
+                    offsets,
+                    sub_len,
+                )
 
         self._run_pipelined(jobs(), lambda s, r, f: out.__setitem__(slice(s, s + r), np.asarray(f)[:r]))
         return out

@@ -440,6 +440,7 @@ def test_train_cli_missing_target(tmp_path):
     assert rc == 2
 
 
+@pytest.mark.slow
 def test_compute_features_atac_cli(tmp_path, weights_npz, genome_path):
     from expecto_tpu.cli.compute_features import main as cf_main
 

@@ -157,6 +157,34 @@ class TestPipelines:
         )
         assert sorted(done3) == ["genea", "geneb"]
 
+    def test_features_only_matches_full_mode(self, consensus_tree):
+        """--features_only writes the {gene}.h5 expecto_preds contract with
+        identical values but NO chromatin h5 (VERDICT r4 #1)."""
+        tmp_path, model, cdir, gfile = consensus_tree
+        out_full = str(tmp_path / "out_full")
+        out_feat = str(tmp_path / "out_feat")
+        predict_consensus_genes(model, cdir, gfile, FakeRunner(), out_full, shifts=TEST_SHIFTS)
+        predict_consensus_genes(
+            model, cdir, gfile, FakeRunner(), out_feat, shifts=TEST_SHIFTS, features_only=True
+        )
+        for gene in ("genea", "geneb"):
+            assert not os.path.exists(f"{out_feat}/{gene}/{gene}_chromatin.h5")
+            with h5py.File(f"{out_full}/{gene}/{gene}.h5") as ff, h5py.File(
+                f"{out_feat}/{gene}/{gene}.h5"
+            ) as fo:
+                np.testing.assert_allclose(
+                    fo["expecto_preds"][:], ff["expecto_preds"][:], rtol=1e-5, atol=1e-6
+                )
+                assert list(fo["record_ids"][:]) == list(ff["record_ids"][:])
+
+    def test_features_only_rejects_exp_only(self, consensus_tree):
+        tmp_path, model, cdir, gfile = consensus_tree
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            predict_consensus_genes(
+                model, cdir, gfile, FakeRunner(), str(tmp_path / "x"),
+                shifts=TEST_SHIFTS, exp_only=True, features_only=True,
+            )
+
     def test_chunking(self, consensus_tree):
         tmp_path, model, cdir, gfile = consensus_tree
         out = str(tmp_path / "out_chunk")
@@ -377,6 +405,7 @@ def test_window_dedup_cohort_matches_per_record_path():
     np.testing.assert_allclose(dedup, per_record, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_window_dedup_spans_probe_matches_per_record_path():
     """The span-capable cohort probe (r4: windows hashed as zero-copy span
     slices, no (R, S, 2000) materialization) must take the dedup path on a

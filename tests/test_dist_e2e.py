@@ -13,6 +13,10 @@ import sys
 import h5py
 import numpy as np
 import pytest
+
+#: every test here spawns a REAL 2-process jax.distributed world (60-130 s
+#: each) — the opt-in heavy tier. Quick tier: pytest -m 'not slow'
+pytestmark = pytest.mark.slow
 import torch
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

@@ -194,6 +194,7 @@ class TestSpanPathRouting:
                 np.testing.assert_array_equal(auto.arrays[shift][k], spans.arrays[shift][k])
                 np.testing.assert_allclose(auto.arrays[shift][k], windows.arrays[shift][k], atol=3e-5)
 
+    @pytest.mark.slow
     def test_ineligible_rows_fall_back_to_window_path(self, tiny_genome, runner):
         """Rows the span path cannot reproduce exactly — allele length change
         beyond the 100 bp crop slack, or shift windows crossing a contig

@@ -175,6 +175,7 @@ def test_score_spans_packed_with_ns_matches_unpacked(params):
     np.testing.assert_allclose(ALT2, ALT1, rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_score_spans_packed_ndense_fallback(params):
     # pathologically N-dense batches exceed the sideband budget and take the
     # 4-bit fallback; results must be identical either way

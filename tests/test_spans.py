@@ -275,6 +275,48 @@ class TestPipelineSpanPaths:
             # fail the atol floor on small diffs
             np.testing.assert_allclose(d16, d32, rtol=2e-3, atol=2e-6)
 
+    def test_cohort_backbone_patch_matches_baseline(self, params):
+        """The features-only cohort path (record dedup + backbone conv6
+        patching + plain-span fallback for divergent records, across strand
+        groups) must match the full-forward feature chain (VERDICT r4 #1)."""
+        import numpy as np
+
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.consensus import (
+            _predict_consensus_features_cohort,
+            _predict_consensus_preds,
+            consensus_features,
+        )
+
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+        rng = np.random.default_rng(9)
+        bases = np.frombuffer(b"ACGT", np.uint8)
+        L = 6000
+        bb = rng.integers(0, 4, size=L)
+
+        def mk(sites):
+            a = bb.copy()
+            for p in sites:
+                a[p] = (a[p] + 1) % 4
+            return bases[a].tobytes().decode()
+
+        shifts = [-400, -200, 0, 200]
+        seqs = [
+            (mk([]), "+"),                           # the backbone itself
+            (mk([2100, 3500, 3990]), "+"),           # sparse patchable sites
+            (mk([3000, 3003, 3010, 2500]), "+"),     # clustered sites
+            (mk(list(range(2100, 4000, 13))), "+"),  # divergent -> span fallback
+            (mk([2100, 3500, 3990]), "+"),           # duplicate of record 1
+            (mk([2200, 3600]), "-"),                 # '-' strand group
+        ]
+        got = _predict_consensus_features_cohort(runner, seqs, shifts)
+        want = consensus_features(
+            _predict_consensus_preds(runner, seqs, shifts, window_dedup=False).astype(np.float32),
+            shifts,
+        )
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+        np.testing.assert_array_equal(got[1], got[4])  # record-level dedup
+
     def test_gene_features_span_equals_fused(self, tiny_genome, params):
         from expecto_tpu.parallel.runner import BelugaRunner
         from expecto_tpu.pipeline.features import (
@@ -632,6 +674,118 @@ class TestIncrementalPatch:
         got = np.asarray(fc_from_phases(params, patched, offsets))
         want = np.asarray(beluga_forward_spans(params, alt, offsets))
         np.testing.assert_allclose(got, want, atol=2e-5, rtol=1e-4)
+
+
+class TestMultiSitePatch:
+    """conv6_phases_patch_sites: k-range backbone patching == full forward
+    (VERDICT r4 #6 — the consensus cohort fast path's kernel)."""
+
+    def _check(self, params, span_len, offsets, site_sets, rng):
+        from expecto_tpu.ops.spans import (
+            beluga_forward_spans,
+            conv6_patch_sites_plan,
+            conv6_phases,
+            conv6_phases_patch_sites,
+            fc_from_phases,
+        )
+
+        phases = {(o // 4) % 4 for o in offsets}
+        eye = np.eye(5, 4, dtype=np.float32)
+        bb = rng.integers(0, 4, size=span_len)
+        samples, plans, maxk = [], [], 1
+        for sites in site_sets:
+            s = bb.copy()
+            for p in sites:
+                s[p] = (s[p] + 1 + rng.integers(0, 3)) % 4
+            plan = conv6_patch_sites_plan(sites, span_len, phases)
+            assert plan is not None, f"sites {sites} must be patchable at span_len {span_len}"
+            samples.append(s)
+            plans.append(plan)
+            maxk = max(maxk, len(plan))
+        starts = np.zeros((len(samples), maxk), np.int32)
+        for i, plan in enumerate(plans):
+            starts[i, : len(plan)] = plan
+
+        x_bb = jnp.asarray(eye[bb][None])
+        x_s = jnp.asarray(eye[np.stack(samples)])
+        patched = conv6_phases_patch_sites(
+            params, conv6_phases(params, x_bb, phases), x_s, jnp.asarray(starts), phases
+        )
+        got = np.asarray(fc_from_phases(params, patched, offsets))
+        want = np.asarray(beluga_forward_spans(params, x_s, offsets))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    def test_multi_site_patch_matches_full_forward(self, params):
+        rng = np.random.default_rng(41)
+        span_len, offsets = 2800, (0, 200, 400, 600, 800)
+        self._check(
+            params, span_len, offsets,
+            [
+                [10, 1500, 2799],        # span edges + middle
+                [700, 703, 710, 2100],   # cluster merged into one range + lone site
+                [],                      # identical to backbone (all-inactive slots)
+            ],
+            rng,
+        )
+
+    def test_rc_orientation_patch(self, params):
+        """Mirrored plans on the reverse-complement span (the cohort path
+        patches both orientations)."""
+        from expecto_tpu.ops.spans import (
+            beluga_forward_spans,
+            conv6_patch_sites_plan,
+            conv6_phases,
+            conv6_phases_patch_sites,
+            fc_from_phases,
+        )
+
+        rng = np.random.default_rng(43)
+        span_len = 2800
+        offsets = (0, 200, 400)
+        rc_offsets = tuple(span_len - 2000 - o for o in offsets)
+        phases_r = {(o // 4) % 4 for o in rc_offsets}
+        eye = np.eye(5, 4, dtype=np.float32)
+        bb = rng.integers(0, 4, size=span_len)
+        sites = [5, 1200, 2795]
+        s = bb.copy()
+        for p in sites:
+            s[p] = (s[p] + 1) % 4
+        plan = conv6_patch_sites_plan([span_len - 1 - p for p in sites], span_len, phases_r)
+        assert plan is not None
+        starts = np.asarray([plan], np.int32)
+        x_bb = jnp.asarray(eye[bb][None])[:, ::-1, ::-1]
+        x_s = jnp.asarray(eye[s][None])[:, ::-1, ::-1]
+        patched = conv6_phases_patch_sites(
+            params, conv6_phases(params, x_bb, phases_r), x_s, jnp.asarray(starts), phases_r
+        )
+        got = np.asarray(fc_from_phases(params, patched, rc_offsets))
+        want = np.asarray(beluga_forward_spans(params, x_s, rc_offsets))
+        np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+    def test_unaligned_tail_is_honestly_unpatchable(self):
+        """A span whose length is not a 16-multiple has tail receptive
+        fields no aligned sub-span can cover — the PLAN must say so (return
+        None) rather than emit wrong starts; callers extend the span to a
+        16-multiple (consensus_span_and_offsets align=16)."""
+        from expecto_tpu.ops.spans import conv6_patch_sites_plan
+
+        span_len = 2808  # % 16 == 8, like the 41,800 bp gene span
+        phases = {0, 2}
+        assert conv6_patch_sites_plan([span_len - 1], span_len, phases) is None
+        assert conv6_patch_sites_plan([1399], span_len, phases) is not None
+        # aligned span: the same tail site is patchable
+        assert conv6_patch_sites_plan([span_len - 1], span_len + 8, phases) is not None
+
+    def test_plan_range_budget(self):
+        from expecto_tpu.ops.spans import conv6_patch_sites_plan
+
+        phases = {0, 2}
+        # scattered sites, one range each: over budget -> None
+        many = list(range(400, 2400, 64))
+        assert conv6_patch_sites_plan(many, 2800, phases, max_ranges=8) is None
+        assert conv6_patch_sites_plan(many[:8], 2800, phases, max_ranges=8) is not None
+        # clustered sites merge into one range
+        assert len(conv6_patch_sites_plan([1000, 1010, 1020], 2800, phases)) == 1
 
 
 def test_fc1_delta_identity(params):
