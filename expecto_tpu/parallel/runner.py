@@ -500,11 +500,15 @@ class BelugaRunner:
         return write
 
     #: device->host fetch worker threads. The axon relay tops out at
-    #: ~25-40 MB/s on ONE stream but ~60 MB/s aggregate on two concurrent
+    #: ~25-40 MB/s on ONE stream but up to ~60 MB/s aggregate on concurrent
     #: fetches (scripts/probe_relay.py); fetch-bound paths (full-track h5
     #: contract, consensus cohorts) gain ~1.5x from overlapping fetches.
-    #: More than 2 workers measured no further gain.
-    FETCH_WORKERS = 2
+    #: THREE workers (r5 measurement): although raw 2-stream fetch gains
+    #: nothing from a third stream, a worker also does the fp32 cast + h5
+    #: write after its fetch — the third worker keeps two fetches in flight
+    #: during those windows (+11% on the h5 contract in a degraded phase,
+    #: 151->167 v/s vs a 204 v/s phase ceiling).
+    FETCH_WORKERS = 3
 
     def _run_pipelined(self, jobs, write):
         """Drain a stream of (start, real, device_result) with up to
