@@ -193,14 +193,25 @@ def conv6_covering_start(a: int, b: int, span_len: int, sub_len: int, phases, fr
     return s0
 
 
+#: conv1-recompute geometry for the layered patch kernel: a diff range
+#: [a, b] (width <= sub_len-672) perturbs conv1 activations [a-14, b]; a
+#: C1_PATCH_BASES-wide base slice at d0 = clip(a-14, 0, L-C1_PATCH_BASES)
+#: yields C1_PATCH_BASES-14 conv1 outputs covering them in every clip case
+C1_PATCH_BASES = 80
+
+
 def conv6_patch_sites_plan(
     diff_positions, span_len: int, phases, *, sub_len: int = PATCH_SUB_LEN, max_ranges: int = 32
-) -> list[int] | None:
+) -> list[tuple[int, int]] | None:
     """Greedy plan: merge sorted ``diff_positions`` (span coords where a
     sample differs from its backbone) into <= ``max_ranges`` covering
-    sub-span starts for :func:`conv6_phases_patch_sites`. Returns None when
-    the record is not patchable (too many scattered sites — the full span
-    forward is then cheaper anyway — or an uncoverable alignment corner)."""
+    ranges for the patch kernels. Each entry is ``(w0, d0)``: the
+    16-aligned sub-span start whose conv6 frames cover the range
+    (:func:`conv6_phases_patch_sites` uses w0 alone) and the base start of
+    the :data:`C1_PATCH_BASES`-wide conv1-recompute slice
+    (:func:`conv6_phases_patch_sites_c1`). Returns None when the record is
+    not patchable (too many scattered sites — the full span forward is
+    then cheaper anyway — or an uncoverable alignment corner)."""
     pos = sorted(int(p) for p in diff_positions)
     if not pos:
         return []
@@ -209,7 +220,7 @@ def conv6_patch_sites_plan(
         for ph in sorted(set(int(p) for p in phases))
     }
     width_max = sub_len - 672
-    starts: list[int] = []
+    starts: list[tuple[int, int]] = []
     a = b = pos[0]
     for p in pos[1:] + [None]:
         if p is not None and p - a <= width_max:
@@ -218,7 +229,8 @@ def conv6_patch_sites_plan(
         s0 = conv6_covering_start(a, b, span_len, sub_len, phases, frame_counts)
         if s0 is None or len(starts) >= max_ranges:
             return None
-        starts.append(s0)
+        d0 = max(0, min(a - 14, span_len - C1_PATCH_BASES))
+        starts.append((s0, d0))
         if p is not None:
             a = b = p
     return starts
@@ -267,7 +279,15 @@ def conv6_phases_patch_sites(
         params, subs.reshape(n * k, sub_len, subs.shape[-1]), phases, precision=precision
     )
 
-    f0 = range_starts // CONV6_STRIDE  # (N, K); aligned s0 keeps pool lattices in phase
+    return _splice_patch_frames(base_phases, sub_ph, range_starts // CONV6_STRIDE, n, k, phases)
+
+
+def _splice_patch_frames(base_phases, sub_ph, f0, n, k, phases):
+    """Scatter per-range conv6 frames into (broadcast copies of) the
+    backbone phase buffers at frame starts ``f0`` (N, K). Overlapping
+    ranges write byte-equal values (every patch frame is the conv of the
+    sample's own bases), so duplicate-index order is irrelevant; 'drop'
+    guards the (host-prevented) out-of-range case."""
     out = {}
     for ph in phases:
         buf = base_phases[ph]
@@ -277,11 +297,86 @@ def conv6_phases_patch_sites(
         cnt = patches.shape[2]
         frame_idx = f0[:, :, None] + jnp.arange(cnt, dtype=f0.dtype)[None, None, :]
         n_idx = jnp.broadcast_to(jnp.arange(n, dtype=f0.dtype)[:, None, None], frame_idx.shape)
-        # overlapping ranges write byte-equal values (every patch frame is
-        # the conv of the sample's own bases), so duplicate-index order is
-        # irrelevant; 'drop' guards the (host-prevented) out-of-range case
         out[ph] = buf.at[n_idx, frame_idx].set(patches.astype(buf.dtype), mode="drop")
     return out
+
+
+def conv6_phases_patch_sites_c1(
+    params: BelugaParams,
+    base_c1: jax.Array,
+    base_phases: dict[int, jax.Array],
+    alt_spans: jax.Array,
+    w0s: jax.Array,
+    d0s: jax.Array,
+    phases,
+    *,
+    sub_len: int = PATCH_SUB_LEN,
+    precision=lax.Precision.HIGHEST,
+) -> dict[int, jax.Array]:
+    """Layered variant of :func:`conv6_phases_patch_sites` that reuses the
+    BACKBONE's conv1 activations — conv0+conv1 are ~36% of the span's conv
+    FLOPs and the raw kernel reruns them over every range's full sub-span.
+    Here conv1 is recomputed only on a :data:`C1_PATCH_BASES`-wide slice
+    around each diff range (the conv1 receptive field of the mutated
+    bases); conv2..conv6 then run on (sub_len-14)-wide windows gathered
+    from the patched conv1 buffer. Per-range FLOPs drop ~38%.
+
+    **Measured NEGATIVE result on v5e (r5)** — the production path uses the
+    raw kernel instead: at N=16, K=8 the phase computation took 39.4 ms
+    here vs 29.4 ms raw vs 48.2 ms full forward. The per-sample conv1
+    buffer (broadcast + scatter + per-range window gathers over
+    (N, L-14, 320)) costs more in HBM traffic and scatter lowering than
+    the ~4.5 GFLOP of conv1 it avoids recomputing. Kept exact-tested as
+    the starting point for backends where gather/scatter is cheaper
+    relative to matmul.
+
+    Cross-range consistency is automatic: every window gather happens
+    after ALL conv1 patches are scattered, so a range whose window
+    overlaps a neighbor's mutated bases reads the neighbor's recomputed
+    conv1 values, not the backbone's.
+
+    Args:
+        base_c1: (1 or N, span_len-14, C1) backbone conv1 activations
+            (:func:`conv1_acts` of the backbone span).
+        base_phases: {phase: (1 or N, F_ph, C)} backbone conv6 buffers.
+        alt_spans: (N, span_len, 4) one-hot sample spans.
+        w0s / d0s: (N, K) int32 ``(w0, d0)`` columns of
+            :func:`conv6_patch_sites_plan`'s ranges; inactive slots 0.
+
+    Returns {phase: (N, F_ph, C)} buffers equal (to fp reduction order) to
+    ``conv6_phases(params, alt_spans, phases)``.
+    """
+    n, span_len, _ = alt_spans.shape
+    k = w0s.shape[1]
+    phases = sorted(set(int(p) for p in phases))
+    win = sub_len - 14
+    c1_out = C1_PATCH_BASES - 14
+
+    # 1. conv1 recomputed from the sample's own bases around each range
+    def slice_bases(x_i, s_i):
+        return jax.vmap(lambda s: lax.dynamic_slice_in_dim(x_i, s, C1_PATCH_BASES, axis=0))(s_i)
+
+    base_slices = jax.vmap(slice_bases)(alt_spans, d0s)  # (N, K, 80, 4)
+    c1_patch = conv1_acts(
+        params, base_slices.reshape(n * k, C1_PATCH_BASES, base_slices.shape[-1]), precision=precision
+    ).reshape(n, k, c1_out, -1)
+
+    buf = base_c1
+    if buf.shape[0] != n:
+        buf = jnp.broadcast_to(buf, (n,) + buf.shape[-2:])
+    pos_idx = d0s[:, :, None] + jnp.arange(c1_out, dtype=d0s.dtype)[None, None, :]
+    n_idx = jnp.broadcast_to(jnp.arange(n, dtype=d0s.dtype)[:, None, None], pos_idx.shape)
+    c1 = buf.at[n_idx, pos_idx].set(c1_patch.astype(buf.dtype), mode="drop")
+
+    # 2. per-range conv1 windows from the PATCHED buffer; 3. conv2..conv6
+    def slice_c1(c_i, s_i):
+        return jax.vmap(lambda s: lax.dynamic_slice_in_dim(c_i, s, win, axis=0))(s_i)
+
+    wins = jax.vmap(slice_c1)(c1, w0s)  # (N, K, win, C1)
+    sub_ph = conv6_from_conv1(
+        params, wins.reshape(n * k, win, wins.shape[-1]), phases, precision=precision
+    )
+    return _splice_patch_frames(base_phases, sub_ph, w0s // CONV6_STRIDE, n, k, phases)
 
 
 def _window_starts_by_phase(offsets) -> dict[int, list[tuple[int, int]]]:

@@ -252,19 +252,22 @@ class BelugaRunner:
         ):
             # Cohort fast path: per-sample conv6 buffers are the BACKBONE's
             # with only the frames around each sample's diff ranges
-            # recomputed (ops/spans.conv6_phases_patch_sites); the dense
+            # recomputed from raw-base sub-spans
+            # (ops/spans.conv6_phases_patch_sites — the conv1-reusing _c1
+            # variant measured SLOWER on v5e, see its docstring); the dense
             # layers and the decay projection then run per sample as in
-            # _forward_spans_project.
+            # _forward_spans_project. starts_*: (N, K, 2) int32 (w0, d0);
+            # this kernel consumes w0 only.
             x = onehot_from_codes(sample_spans, dtype=compute_dtype)
             extra = sample_spans.shape[1] - 2000
             rc_offsets = tuple(extra - o for o in offsets)
             pf = conv6_phases_patch_sites(
-                params, ph_f, x, starts_f, {(o // 4) % 4 for o in offsets},
-                sub_len=sub_len, precision=precision,
+                params, ph_f, x, starts_f[..., 0],
+                {(o // 4) % 4 for o in offsets}, sub_len=sub_len, precision=precision,
             )
             pr = conv6_phases_patch_sites(
-                params, ph_r, x[:, ::-1, ::-1], starts_r, {(o // 4) % 4 for o in rc_offsets},
-                sub_len=sub_len, precision=precision,
+                params, ph_r, x[:, ::-1, ::-1], starts_r[..., 0],
+                {(o // 4) % 4 for o in rc_offsets}, sub_len=sub_len, precision=precision,
             )
             y = fc_from_phases(params, pf, offsets, precision=precision).astype(jnp.float32)
             y_rc = fc_from_phases(params, pr, rc_offsets, precision=precision).astype(jnp.float32)
@@ -745,12 +748,12 @@ class BelugaRunner:
         Args:
             backbone_span: (span_len,) int8 codes of the shared backbone.
             sample_spans: (N, span_len) int8 codes.
-            starts_f / starts_r: (N, K) int32 16-aligned sub-span starts for
-                the forward / reverse-complement orientation (host-planned
-                via ops.spans.conv6_patch_sites_plan on the forward and
-                mirrored diff positions); inactive slots hold 0 — a
-                superfluous patch recomputes frames from the sample's own
-                span and is exact by construction.
+            starts_f / starts_r: (N, K, 2) int32 ``(w0, d0)`` range starts
+                for the forward / reverse-complement orientation
+                (host-planned via ops.spans.conv6_patch_sites_plan on the
+                forward and mirrored diff positions); inactive slots hold
+                0 — a superfluous patch recomputes frames from the sample's
+                own span and is exact by construction.
             pos_weights: (B, S) decay basis over the offsets.
 
         Returns (N, B*2002) float32 fwd/RC-averaged projected features,
@@ -770,7 +773,7 @@ class BelugaRunner:
         def pad_k(s):
             s = np.asarray(s, dtype=np.int32)
             if s.shape[1] != k_pad:
-                s = np.pad(s, ((0, 0), (0, k_pad - s.shape[1])))
+                s = np.pad(s, ((0, 0), (0, k_pad - s.shape[1]), (0, 0)))
             return s
 
         starts_f = pad_k(starts_f)
@@ -785,8 +788,8 @@ class BelugaRunner:
                 real = min(start + rows, n) - start
                 pad = rows - real
                 chunk = np.pad(sample_spans[start : start + real], ((0, pad), (0, 0)))
-                sf = np.pad(starts_f[start : start + real], ((0, pad), (0, 0)))
-                sr = np.pad(starts_r[start : start + real], ((0, pad), (0, 0)))
+                sf = np.pad(starts_f[start : start + real], ((0, pad), (0, 0), (0, 0)))
+                sr = np.pad(starts_r[start : start + real], ((0, pad), (0, 0), (0, 0)))
                 yield start, real, self._forward_spans_project_patch(
                     self.params,
                     ph_f,

@@ -533,12 +533,16 @@ def _predict_consensus_features_cohort(runner, seqs_and_strands, shifts) -> np.n
                 for k8 in [k for k, v in buckets.items() if len(v) < 8]:
                     fallback.extend(buckets.pop(k8))
             for k8, rows_k in sorted(buckets.items()):
-                sf = np.zeros((len(rows_k), k8), np.int32)
-                sr = np.zeros((len(rows_k), k8), np.int32)
+                # (R, K, 2) int32: [:, :, 0] = w0 sub-span starts, [:, :, 1]
+                # = d0 conv1-recompute starts (conv6_patch_sites_plan pairs)
+                sf = np.zeros((len(rows_k), k8, 2), np.int32)
+                sr = np.zeros((len(rows_k), k8, 2), np.int32)
                 for m, r in enumerate(rows_k):
                     pf, pr = plans[r]
-                    sf[m, : len(pf)] = pf
-                    sr[m, : len(pr)] = pr
+                    if pf:
+                        sf[m, : len(pf)] = pf
+                    if pr:
+                        sr[m, : len(pr)] = pr
                 feats_u[idx[rows_k]] = runner.project_spans_backbone_patch(
                     backbone, rows[rows_k], sf, sr, offsets, pw
                 )

@@ -703,17 +703,30 @@ class TestMultiSitePatch:
             plans.append(plan)
             maxk = max(maxk, len(plan))
         starts = np.zeros((len(samples), maxk), np.int32)
+        starts2 = np.zeros((len(samples), maxk, 2), np.int32)
         for i, plan in enumerate(plans):
-            starts[i, : len(plan)] = plan
+            if plan:
+                starts[i, : len(plan)] = [w for w, _ in plan]
+                starts2[i, : len(plan)] = plan
 
         x_bb = jnp.asarray(eye[bb][None])
         x_s = jnp.asarray(eye[np.stack(samples)])
-        patched = conv6_phases_patch_sites(
-            params, conv6_phases(params, x_bb, phases), x_s, jnp.asarray(starts), phases
-        )
+        base_ph = conv6_phases(params, x_bb, phases)
+        patched = conv6_phases_patch_sites(params, base_ph, x_s, jnp.asarray(starts), phases)
         got = np.asarray(fc_from_phases(params, patched, offsets))
         want = np.asarray(beluga_forward_spans(params, x_s, offsets))
         np.testing.assert_allclose(got, want, atol=3e-5, rtol=1e-4)
+
+        # the layered (conv1-reusing) kernel must match too
+        from expecto_tpu.ops.spans import conv1_acts, conv6_phases_patch_sites_c1
+
+        base_c1 = conv1_acts(params, x_bb)
+        patched_c1 = conv6_phases_patch_sites_c1(
+            params, base_c1, base_ph, x_s,
+            jnp.asarray(starts2[..., 0]), jnp.asarray(starts2[..., 1]), phases,
+        )
+        got_c1 = np.asarray(fc_from_phases(params, patched_c1, offsets))
+        np.testing.assert_allclose(got_c1, want, atol=3e-5, rtol=1e-4)
 
     def test_multi_site_patch_matches_full_forward(self, params):
         rng = np.random.default_rng(41)
@@ -724,6 +737,22 @@ class TestMultiSitePatch:
                 [10, 1500, 2799],        # span edges + middle
                 [700, 703, 710, 2100],   # cluster merged into one range + lone site
                 [],                      # identical to backbone (all-inactive slots)
+            ],
+            rng,
+        )
+
+    def test_nearby_ranges_cross_contamination(self, params):
+        """Sites ~100-600 bp apart form SEPARATE ranges whose conv windows
+        overlap each other's mutated bases — the layered kernel's
+        scatter-then-gather must read the neighbor's recomputed conv1, not
+        the backbone's (the composed-window failure mode)."""
+        rng = np.random.default_rng(47)
+        self._check(
+            params, 2800, (0, 200, 400),
+            [
+                [900, 1000],             # 100 bp apart: two ranges, windows overlap
+                [900, 1250, 1500],       # chained overlaps
+                [1395, 1404, 1450],      # just past the 32-bp merge width
             ],
             rng,
         )
@@ -752,7 +781,7 @@ class TestMultiSitePatch:
             s[p] = (s[p] + 1) % 4
         plan = conv6_patch_sites_plan([span_len - 1 - p for p in sites], span_len, phases_r)
         assert plan is not None
-        starts = np.asarray([plan], np.int32)
+        starts = np.asarray([[w for w, _ in plan]], np.int32)
         x_bb = jnp.asarray(eye[bb][None])[:, ::-1, ::-1]
         x_s = jnp.asarray(eye[s][None])[:, ::-1, ::-1]
         patched = conv6_phases_patch_sites(
