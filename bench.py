@@ -165,14 +165,15 @@ def measure_compute_ceiling(runner, work, *, repeats: int = 3) -> float:
     return best
 
 
-def measure_gene_features_per_sec(params, *, n_genes: int, repeats: int = 3) -> float:
+def measure_gene_features_per_sec(runner, *, n_genes: int, repeats: int = 3) -> float:
     """Gene-feature regeneration throughput: 200 strand-shift windows per
     gene as one span, RC-averaged, decay projection fused on device
-    (pipeline/features.py::compute_gene_features's span path)."""
+    (pipeline/features.py::compute_gene_features's span path). ``runner``
+    is the shared span-workload runner (batch 3200 = 16 spans of 200
+    windows — the production configuration for 41.8 kb gene spans)."""
     from expecto_tpu.genome.windows import gene_shifts
     from expecto_tpu.ops.decay import gene_pos_weights
 
-    runner = _make_runner(params, batch_size=3200)  # 16 spans of 200 windows
     shifts = gene_shifts()
     offsets = tuple(range(0, 200 * len(shifts), 200))
     span_len = offsets[-1] + 2000
@@ -527,9 +528,15 @@ def main() -> None:
             ceil = measure_compute_ceiling(runner, work)
             if np.isfinite(ceil):  # NaN (too few rows on the cpu smoke) is not JSON
                 _PATHS["compute_ceiling_variants_per_sec"] = ceil
+        # shared span-workload runner (batch 3200 = 16 gene spans/call): the
+        # gene-features and features-only consensus paths all run 41.8 kb
+        # spans, where the serving runner's batch (rows of 10) underfills
+        # the chip
+        runner_spans = None
         if _remaining() > 240:
+            runner_spans = _make_runner(params, batch_size=3200)
             _PATHS["genes_per_sec"] = measure_gene_features_per_sec(
-                params, n_genes=256 if on_chip else 2
+                runner_spans, n_genes=256 if on_chip else 2
             )
         if _remaining() > 120:
             _PATHS["indel_variants_per_sec"] = measure_indel_serving_variants_per_sec(
@@ -567,7 +574,7 @@ def main() -> None:
             # wall is gone, so the private regime is compute-bound (r4 #1)
             _PATHS["consensus_private_featonly_sample_genes_per_sec"] = (
                 measure_consensus_featonly_sample_genes_per_sec(
-                    runner, n_samples=64 if on_chip else 4, n_sites=42
+                    runner_spans or runner, n_samples=64 if on_chip else 4, n_sites=42
                 )
             )
         if _remaining() > 150:
@@ -575,7 +582,7 @@ def main() -> None:
             # 42 kb): the backbone conv6-patch kernel engages here
             _PATHS["consensus_sparse_private_featonly_sample_genes_per_sec"] = (
                 measure_consensus_featonly_sample_genes_per_sec(
-                    runner, n_samples=64 if on_chip else 4, n_sites=4
+                    runner_spans or runner, n_samples=64 if on_chip else 4, n_sites=4
                 )
             )
         if _remaining() > 240:

@@ -317,6 +317,43 @@ class TestPipelineSpanPaths:
         np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
         np.testing.assert_array_equal(got[1], got[4])  # record-level dedup
 
+    def test_cohort_patch_fuzz_with_n_bases(self, params):
+        """Seeded fuzz across the cohort-regime space: random site counts
+        (0..dense), N bases in both backbone and samples (consensus
+        sequences carry Ns at chromosome-edge padding), clustered sites,
+        and '-' strand records — the features-only cohort chain must match
+        the full-forward chain on every record."""
+        import numpy as np
+
+        from expecto_tpu.parallel.runner import BelugaRunner
+        from expecto_tpu.pipeline.consensus import (
+            _predict_consensus_features_cohort,
+            _predict_consensus_preds,
+            consensus_features,
+        )
+
+        runner = BelugaRunner(jax.tree.map(np.asarray, params), batch_size=32)
+        rng = np.random.default_rng(53)
+        alphabet = np.frombuffer(b"ACGTN", np.uint8)
+        L = 6000
+        bb_codes = rng.integers(0, 4, size=L)
+        bb_codes[rng.random(L) < 2e-3] = 4  # sparse Ns in the backbone too
+
+        def mk(n_sites, strand):
+            a = bb_codes.copy()
+            sites = rng.choice(np.arange(1900, 4100), size=n_sites, replace=False)
+            a[sites] = rng.integers(0, 5, size=n_sites)  # may introduce/remove Ns
+            return (alphabet[a].tobytes().decode(), strand)
+
+        seqs = [mk(int(n), s) for n, s in zip(rng.integers(0, 30, size=7), "+++--++")]
+        shifts = [-400, -200, 0, 200]
+        got = _predict_consensus_features_cohort(runner, seqs, shifts)
+        want = consensus_features(
+            _predict_consensus_preds(runner, seqs, shifts, window_dedup=False).astype(np.float32),
+            shifts,
+        )
+        np.testing.assert_allclose(got, want, atol=5e-5, rtol=1e-3)
+
     def test_gene_features_span_equals_fused(self, tiny_genome, params):
         from expecto_tpu.parallel.runner import BelugaRunner
         from expecto_tpu.pipeline.features import (
