@@ -47,16 +47,40 @@ def write_fimo_input(vcf_df: pd.DataFrame, genome: FastaIndex, fasta_path: str, 
             print(seq, file=f)
 
 
-def run_fimo(motif_file: str, fasta_path: str, out_path: str) -> None:
-    """Invoke the MEME-suite fimo binary (--thresh 1 --text,
-    query_fimo_for_predictions.py:44-47)."""
-    if shutil.which("fimo") is None:
-        raise RuntimeError("MEME suite 'fimo' binary not found on PATH (external dependency, as in the reference)")
-    with open(out_path, "w") as f:
-        # argv list (no shell): paths with spaces/metacharacters stay one
-        # token; check=True surfaces a failing fimo instead of leaving a
-        # truncated table for downstream enrichment to mis-count
-        subprocess.run(["fimo", "--thresh", "1", "--text", motif_file, fasta_path], stdout=f, check=True)
+def run_fimo(motif_file: str, fasta_path: str, out_path: str, *, engine: str = "auto") -> str:
+    """FIMO motif scan (--thresh 1 --text semantics,
+    query_fimo_for_predictions.py:44-47). Returns the engine used.
+
+    ``engine``: 'meme' invokes the MEME-suite binary (bit parity with the
+    reference; raises if absent), 'builtin' uses the native scanner
+    (:mod:`expecto_tpu.analysis.motif_scan` — same published scoring
+    model, p-values may differ in the last quantization digit), 'auto'
+    prefers the binary and falls back to builtin with a warning."""
+    have_binary = shutil.which("fimo") is not None
+    if engine == "meme" or (engine == "auto" and have_binary):
+        if not have_binary:
+            raise RuntimeError("MEME suite 'fimo' binary not found on PATH (engine='meme')")
+        with open(out_path, "w") as f:
+            # argv list (no shell): paths with spaces/metacharacters stay one
+            # token; check=True surfaces a failing fimo instead of leaving a
+            # truncated table for downstream enrichment to mis-count
+            subprocess.run(["fimo", "--thresh", "1", "--text", motif_file, fasta_path], stdout=f, check=True)
+        return "meme"
+    if engine not in ("auto", "builtin"):
+        raise ValueError(f"unknown fimo engine {engine!r}")
+    if engine == "auto":
+        import warnings
+
+        warnings.warn(
+            "MEME 'fimo' binary not on PATH; using the built-in scanner "
+            "(same published scoring model; p-values can differ from the "
+            "binary's in the last quantization digit)",
+            stacklevel=2,
+        )
+    from .motif_scan import scan_to_text
+
+    scan_to_text(motif_file, fasta_path, out_path)
+    return "builtin"
 
 
 def filter_fimo_results(fimo_out_path: str, bp_pad: int = 30) -> pd.DataFrame:

@@ -87,6 +87,10 @@ def main(argv=None) -> int:
     qp.add_argument("--bp_pad", type=int, default=30)
     qp.add_argument("--chunk_size", type=int, default=None)
     qp.add_argument("--chunk_i", type=int, default=None)
+    qp.add_argument("--fimo_engine", choices=["auto", "meme", "builtin"], default="auto",
+                    help="'meme' = the external MEME-suite binary (reference bit parity); "
+                         "'builtin' = the native scanner (analysis/motif_scan.py, same "
+                         "published scoring model); 'auto' prefers the binary")
     qp.add_argument("-o", dest="out_dir", default="temp_query_fimo_for_predictions")
 
     ep = sub.add_parser("fimo-enrich", help="hypergeometric motif enrichment of top-contributing RSAT clusters (cluster_analysis_with_fimo.py)")
@@ -382,7 +386,8 @@ def main(argv=None) -> int:
         fasta = f"{args.out_dir}/fimo_in.fasta"
         write_fimo_input(vcf_df, genome, fasta, bp_pad=args.bp_pad)
         out_txt = f"{args.out_dir}/fimo_out.txt"
-        run_fimo(args.motif_file, fasta, out_txt)
+        engine = run_fimo(args.motif_file, fasta, out_txt, engine=args.fimo_engine)
+        print(f"fimo engine: {engine}")
         filtered = filter_fimo_results(out_txt, bp_pad=args.bp_pad)
         filtered.to_csv(f"{args.out_dir}/fimo_filtered.tsv", sep="\t", header=True)
         print(f"wrote {args.out_dir}/fimo_filtered.tsv")
