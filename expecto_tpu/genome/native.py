@@ -9,7 +9,6 @@ The two paths are contract-identical and cross-tested
 from __future__ import annotations
 
 import ctypes
-import os
 from pathlib import Path
 
 import numpy as np

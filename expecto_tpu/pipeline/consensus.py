@@ -769,8 +769,11 @@ def predict_consensus_for_top_eqtls(
                     f"receptive-field span [{lo}, {hi})"
                 )
             span_seqs.append(seq[lo:hi])
-        preds = _predict_consensus_preds(runner, seqs_and_strands, shifts)
-        feats = _match_features(consensus_features(preds, shifts), bst)
+        # this path stores no chromatin tracks, so it rides the
+        # features-only cohort engine (on-device projection + backbone
+        # patching) — ~20x less device->host traffic than fetching
+        # (R, S, 2002) tracks to project host-side
+        feats = _match_features(_predict_consensus_features_cohort(runner, seqs_and_strands, shifts), bst)
         expecto_preds = bst.predict(feats)
         with h5py.File(f"{preds_dir}/{g}.h5", "w") as f:
             f.create_dataset("preds", data=expecto_preds)
