@@ -562,7 +562,7 @@ class TestFimoQueryCLI:
         vcf = tmp_path / "in.vcf"
         vcf.write_text(f"chr1\t{pos}\trs1\t{seq[pos - 1]}\tN\t.\t.\t.\n")
 
-        def fake_run_fimo(motif_file, fasta_path, out_path):
+        def fake_run_fimo(motif_file, fasta_path, out_path, *, engine="auto"):
             rows = [
                 ["M1", "TF1", "rs1", 29, 35, "+", 10.0, 1e-5, 0.1, "AAA"],
                 ["M2", "TF2", "rs1", 1, 9, "+", 5.0, 1e-3, 0.5, "CCC"],
@@ -570,6 +570,7 @@ class TestFimoQueryCLI:
             with open(out_path, "w") as f:
                 for r in rows:
                     f.write("\t".join(map(str, r)) + "\n")
+            return "fake"
 
         import expecto_tpu.analysis.fimo as fimo_mod
 
@@ -583,3 +584,37 @@ class TestFimoQueryCLI:
         assert fasta_out[0] == ">rs1" and len(fasta_out[1]) == 61
         filtered = pd.read_csv(tmp_path / "q" / "fimo_filtered.tsv", sep="\t")
         assert list(filtered["motif_id"]) == ["M1"]  # only the covering match
+
+    def test_query_with_builtin_engine(self, tmp_path):
+        """Fully end-to-end fimo-query with --fimo_engine builtin: no
+        external binary, no stubs — the native scanner scores a real MEME
+        motif over the variant windows and the filter keeps covering
+        matches."""
+        from expecto_tpu.genome.fasta import write_fasta
+
+        rng = np.random.default_rng(7)
+        seq = "".join(np.array(list("ACGT"))[rng.integers(0, 4, 5000)])
+        write_fasta(tmp_path / "g.fa", {"chr1": seq})
+        pos = 2000
+        vcf = tmp_path / "in.vcf"
+        vcf.write_text(f"chr1\t{pos}\trs7\t{seq[pos - 1]}\tN\t.\t.\t.\n")
+        meme = tmp_path / "m.meme"
+        meme.write_text(
+            "MEME version 4\n\nALPHABET= ACGT\n\n"
+            "Background letter frequencies\nA 0.25 C 0.25 G 0.25 T 0.25\n\n"
+            "MOTIF MX TFX\n"
+            "letter-probability matrix: alength= 4 w= 3 nsites= 20 E= 0\n"
+            " 0.97 0.01 0.01 0.01\n 0.01 0.97 0.01 0.01\n 0.01 0.01 0.97 0.01\n"
+        )
+        rc = analysis_main([
+            "fimo-query", "--vcf_file", str(vcf), "--motif_file", str(meme),
+            "--hg19_fasta", str(tmp_path / "g.fa"), "--fimo_engine", "builtin",
+            "-o", str(tmp_path / "qb"),
+        ])
+        assert rc == 0
+        filtered = pd.read_csv(tmp_path / "qb" / "fimo_filtered.tsv", sep="\t")
+        # one best-p row for the motif, covering the variant center
+        assert list(filtered["motif_id"]) == ["MX"]
+        row = filtered.iloc[0]
+        assert row["start"] <= 31 <= row["stop"]
+        assert 0 < row["p-value"] <= 1
