@@ -414,11 +414,11 @@ def _predict_consensus_features(runner, seqs_and_strands, shifts) -> np.ndarray:
     return consensus_features(preds.astype(np.float32), use_shifts)
 
 
-#: max patch ranges per record (in buckets of 8). Economics on the 41.8 kb
-#: gene span: a K-range patched sample costs ~K*704 bases of sub-span conv
-#: vs 41,800 of full conv plus identical dense layers, so at K=24 the conv
-#: cost is ~40% and the end-to-end win ~1.8x; past that the patched path
-#: approaches the plain span forward and the probe overhead stops paying.
+#: max patch ranges per record (in buckets of 8). Measured on v5e (r5,
+#: resident, N=16): the patched path beats the plain span forward 1.24x at
+#: K=8, 1.16-1.18x at K=16/24, and LOSES at K=48 (0.88x — 48 overlapping
+#: 704-base sub-spans re-convolve ~80% of the span while the dense layers,
+#: ~35-40% of wall time, are unchanged). 24 is the last bucket that wins.
 PATCH_MAX_RANGES = 24
 
 
