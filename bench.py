@@ -213,7 +213,7 @@ def measure_indel_serving_variants_per_sec(runner, work, *, n_variants: int, rep
     return best
 
 
-def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_class: str, maxshift: int = 800, repeats: int = 2, write_h5: bool = False) -> float:
+def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_class: str, maxshift: int = 800, repeats: int = 2, write_h5: bool = False, legacy_only: bool = False) -> float:
     """The h5-emitting chromatin pipeline end to end on a synthetic genome:
     host span assembly + pair-diff span kernel (diff = alt - ref in fp32 on
     device, fetched over the fp16 wire as one stacked (ref, diff) block) +
@@ -255,14 +255,17 @@ def measure_h5_pipeline_variants_per_sec(runner, *, n_variants: int, variant_cla
         # writes, bounded memory — r4): actual h5 files land on disk, writes
         # overlapped with compute/fetch. write_h5=False measures the bulk
         # compute+fetch path (comparable to r1-r3 numbers).
+        # legacy_only measures the original-ExPecto 'pred'-format writer:
+        # only diff rides the wire — half the fetch of the full contract
         out_dir = os.path.join(td, "h5out") if write_h5 else None
-        compute_variant_chromatin_effects(  # warm the pair-diff span graph
-            vcf.iloc[: min(8, n_variants)], fa, runner, out_dir, maxshift=maxshift, verbose=False
+        kw = dict(maxshift=maxshift, verbose=False, legacy_only=legacy_only)
+        compute_variant_chromatin_effects(  # warm the span graph
+            vcf.iloc[: min(8, n_variants)], fa, runner, out_dir, **kw
         )
         best = 0.0
         for _ in range(repeats):
             t0 = time.perf_counter()
-            compute_variant_chromatin_effects(vcf, fa, runner, out_dir, maxshift=maxshift, verbose=False)
+            compute_variant_chromatin_effects(vcf, fa, runner, out_dir, **kw)
             best = max(best, n_variants / (time.perf_counter() - t0))
     return best
 
@@ -558,6 +561,13 @@ def main() -> None:
             _PATHS["sub_h5_write_variants_per_sec"] = measure_h5_pipeline_variants_per_sec(
                 runner, n_variants=512 if on_chip else 2, variant_class="sub",
                 repeats=2 if on_chip else 1, write_h5=True,
+            )
+        if _remaining() > 120:
+            # original-ExPecto 'pred'-format writer (diff-only wire, r5):
+            # half the fetch of the full diff/ref/alt contract
+            _PATHS["legacy_h5_write_variants_per_sec"] = measure_h5_pipeline_variants_per_sec(
+                runner, n_variants=512 if on_chip else 2, variant_class="sub",
+                repeats=2 if on_chip else 1, write_h5=True, legacy_only=True,
             )
         if _remaining() > 240:
             _PATHS["consensus_sample_genes_per_sec"] = measure_consensus_sample_genes_per_sec(

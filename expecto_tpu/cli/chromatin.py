@@ -28,6 +28,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output_dir", type=str, default="chromatin_out")
     p.add_argument("--legacy_h5", action="store_true",
                    help="also write original-ExPecto single-'pred' h5s alongside the diff/ref/alt schema")
+    p.add_argument("--legacy_only", action="store_true",
+                   help="write ONLY the original-ExPecto 'pred' h5s (implies --legacy_h5): pred is the "
+                        "diff alone, so only diff leaves the device — half the fetch, ~2x throughput on "
+                        "relay-attached chips")
     p.add_argument("--genome", type=str, default="./resources/hg19.fa")
     p.add_argument("--beluga_weights", type=str, default="./resources/deepsea.beluga.npz",
                    help="native npz checkpoint (convert .pth via expecto_tpu.models.convert)")
@@ -114,6 +118,7 @@ def main(argv=None) -> int:
     compute_variant_chromatin_effects(
         vcf, genome, runner, args.output_dir, maxshift=args.maxshift, inputsize=args.inputsize,
         legacy_h5=args.legacy_h5,
+        legacy_only=args.legacy_only,
     )
     return 0
 

@@ -308,6 +308,36 @@ class BelugaRunner:
 
         self._forward_spans_pair_diff = _forward_spans_pair_diff
 
+        @functools.partial(jax.jit, static_argnames=("offsets",))
+        def _forward_spans_diff_only(params, ref_spans, alt_spans, offsets):
+            # legacy-contract wire: the original-ExPecto h5 format stores
+            # only pred = diff (example/*.diff.h5), so ref tracks never
+            # need to leave the device — HALF the fetch of the pair-diff
+            # wire on this fetch-bound path. diff stays fp32-differenced
+            # on device before the cast (same cancellation-safety).
+            def diff2(xr, xa, offs):
+                yr = beluga_forward_spans(params, xr, offs, precision=precision).astype(jnp.float32)
+                ya = beluga_forward_spans(params, xa, offs, precision=precision).astype(jnp.float32)
+                return ya - yr
+
+            x_ref = onehot_from_codes(ref_spans, dtype=compute_dtype)
+            x_alt = onehot_from_codes(alt_spans, dtype=compute_dtype)
+            extra = ref_spans.shape[1] - 2000
+            rc_off = tuple(extra - o for o in offsets)
+            d = diff2(x_ref, x_alt, offsets)
+            d_rc = diff2(x_ref[:, ::-1, ::-1], x_alt[:, ::-1, ::-1], rc_off)
+            return jnp.stack([d, d_rc], axis=1).astype(jnp_out)  # (R, 2[fwd|rc], S, M)
+
+        self._forward_spans_diff_only = _forward_spans_diff_only
+
+        @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
+        def _forward_spans_diff_only_packed2(params, packed, n_rows, n_cols, offsets, span_len):
+            codes = unpack_codes2(packed, span_len, n_rows, n_cols)
+            pair = codes.reshape(-1, 2, codes.shape[1])
+            return _forward_spans_diff_only(params, pair[:, 0], pair[:, 1], offsets)
+
+        self._forward_spans_diff_only_packed2 = _forward_spans_diff_only_packed2
+
         @functools.partial(jax.jit, static_argnames=("offsets", "span_len"))
         def _forward_spans_pair_diff_packed2(params, packed, n_rows, n_cols, offsets, span_len):
             codes = unpack_codes2(packed, span_len, n_rows, n_cols)
@@ -886,6 +916,67 @@ class BelugaRunner:
         if sink is not None:
             return None
         return REF, ALT, DIFF
+
+    def predict_span_pair_diffs_only(
+        self, ref_spans: np.ndarray, alt_spans: np.ndarray, offsets, *, sink=None
+    ) -> np.ndarray | None:
+        """Legacy-contract pair forward: only ``diff = alt - ref`` leaves
+        the device — HALF the wire of :meth:`predict_span_pairs_diff` on
+        this fetch-bound path, for consumers of the original-ExPecto h5
+        format whose single ``pred`` dataset is the diff
+        (example/*.diff.h5; predict.py's diff-feature scoring path).
+
+        Returns (2N, n_offsets, 2002) float32 in the reference [fwd; rc]
+        row layout, or streams ``sink(start, real, diff)`` chunks of shape
+        (real, 2[fwd|rc], S, M) fp32 and returns None (same sink threading
+        rules as predict_span_pairs_diff)."""
+        ref_spans = np.asarray(ref_spans, dtype=np.int8)
+        alt_spans = np.asarray(alt_spans, dtype=np.int8)
+        offsets = tuple(int(o) for o in offsets)
+        n, span_len = ref_spans.shape
+        rows = self._pair_rows(len(offsets))
+        if sink is None:
+            DIFF = np.empty((2 * n, len(offsets), 2002), dtype=np.float32)
+
+        inter = np.empty((2 * n, span_len), dtype=np.int8)
+        inter[0::2] = ref_spans
+        inter[1::2] = alt_spans
+        plan = self._pack2_plan(inter, 2 * rows)
+
+        def jobs():
+            if plan is not None:
+                for start2, real2, p_chunk, r_local, c_local in self._pack2_chunks(plan, 2 * rows, 2 * n):
+                    yield start2 // 2, real2 // 2, self._forward_spans_diff_only_packed2(
+                        self.params,
+                        jax.device_put(p_chunk, self._batch_sharding),
+                        jnp.asarray(r_local),
+                        jnp.asarray(c_local),
+                        offsets,
+                        span_len,
+                    )
+            else:
+                for start in range(0, n, rows):
+                    real = min(start + rows, n) - start
+                    pad = rows - real
+                    r_chunk = np.pad(ref_spans[start : start + real], ((0, pad), (0, 0)))
+                    a_chunk = np.pad(alt_spans[start : start + real], ((0, pad), (0, 0)))
+                    yield start, real, self._forward_spans_diff_only(
+                        self.params,
+                        jax.device_put(r_chunk, self._batch_sharding),
+                        jax.device_put(a_chunk, self._batch_sharding),
+                        offsets,
+                    )
+
+        def write(s, r, stacked):
+            y = np.asarray(stacked)[:r]  # (r, 2[fwd|rc], S, M) wire dtype
+            if sink is not None:
+                sink(s, r, y.astype(np.float32))
+                return
+            for orient, s0 in ((0, s), (1, n + s)):
+                DIFF[s0 : s0 + r] = y[:, orient]
+
+        self._run_pipelined(jobs(), write)
+        return None if sink is not None else DIFF
 
     def score_variant_spans(
         self,

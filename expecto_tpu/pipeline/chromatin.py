@@ -307,7 +307,7 @@ def _h5_rows_selector(global_rows: np.ndarray):
 
 def _run_span_path_streaming(
     genome, runner, chroms, positions, refs, alts, shifts, maxshift, inputsize, span_ok,
-    output_dir, output_prefix, legacy_h5, shard_fn,
+    output_dir, output_prefix, legacy_h5, shard_fn, legacy_only=False,
 ) -> list[str]:
     """Stream pair-diff chunks straight into preallocated per-shift h5
     datasets. Peak host memory is a few in-flight chunks (~50 MB each)
@@ -339,14 +339,16 @@ def _run_span_path_streaming(
     dsets = []  # per shift: {"diff": ds, "ref": ds, "alt": ds, ["pred": ds]}
     try:
         for shift in shifts:
-            path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
-            paths.append(path)
-            f = h5py.File(shard_fn(path), "w")
-            files.append(f)
-            d = {
-                name: f.create_dataset(name, shape=(2 * n, BELUGA_N_TRACKS), dtype=np.float32)
-                for name in ("diff", "ref", "alt")
-            }
+            d = {}
+            if not legacy_only:
+                path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
+                paths.append(path)
+                f = h5py.File(shard_fn(path), "w")
+                files.append(f)
+                d = {
+                    name: f.create_dataset(name, shape=(2 * n, BELUGA_N_TRACKS), dtype=np.float32)
+                    for name in ("diff", "ref", "alt")
+                }
             if legacy_h5:
                 lpath = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5")
                 paths.append(lpath)
@@ -358,13 +360,15 @@ def _run_span_path_streaming(
         lock = threading.Lock()  # h5py is not thread-safe; sinks come from fetch workers
 
         def write_rows(global_rows, si, ref2, alt2, diff2):
-            # ref2/alt2/diff2: (r, 2[fwd|rc], M) for this shift's rows
+            # ref2/alt2/diff2: (r, 2[fwd|rc], M) for this shift's rows;
+            # ref2/alt2 are None on the diff-only (legacy_only) wire
             d = dsets[si]
             for orient in (0, 1):
                 sel = _h5_rows_selector(global_rows + orient * n)
-                d["ref"][sel] = ref2[:, orient]
-                d["alt"][sel] = alt2[:, orient]
-                d["diff"][sel] = diff2[:, orient]
+                if "ref" in d:
+                    d["ref"][sel] = ref2[:, orient]
+                    d["alt"][sel] = alt2[:, orient]
+                    d["diff"][sel] = diff2[:, orient]
                 if "pred" in d:
                     d["pred"][sel] = diff2[:, orient]
 
@@ -374,13 +378,26 @@ def _run_span_path_streaming(
             rows = sub[s : s + r]
             with lock:
                 for si in range(len(shifts)):
-                    write_rows(rows, si, ref[..., si, :], alt[..., si, :], diff[..., si, :])
+                    write_rows(
+                        rows, si,
+                        None if ref is None else ref[..., si, :],
+                        None if alt is None else alt[..., si, :],
+                        diff[..., si, :],
+                    )
 
         if sub.size:
             ref_spans, alt_spans = assemble_variant_spans(
                 genome, chroms[sub], positions[sub], refs[sub], alts[sub], maxshift, inputsize
             )
-            runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets, sink=sink)
+            if legacy_only and hasattr(runner, "predict_span_pair_diffs_only"):
+                # legacy pred == diff: ref/alt tracks never leave the device
+                # (half the fetch on this fetch-bound path)
+                runner.predict_span_pair_diffs_only(
+                    ref_spans, alt_spans, offsets,
+                    sink=lambda s, r, diff: sink(s, r, None, None, diff),
+                )
+            else:
+                runner.predict_span_pairs_diff(ref_spans, alt_spans, offsets, sink=sink)
 
         if ind.size:
             # edge/out-of-slack rows: reference per-window path, in-memory
@@ -412,6 +429,7 @@ def compute_variant_chromatin_effects(
     use_spans: str = "auto",
     verbose: bool = True,
     legacy_h5: bool = False,
+    legacy_only: bool = False,
     distribute: bool = True,
 ) -> ChromatinResult:
     """Run the full per-shift chromatin-effect computation.
@@ -430,6 +448,12 @@ def compute_variant_chromatin_effects(
             (raise if any row is ineligible), or 'never'.
         legacy_h5: additionally write the original-ExPecto single-``pred``
             schema as ``{prefix}.shift_{s}.legacy.diff.h5``.
+        legacy_only: write ONLY the legacy ``pred`` h5s (implies
+            ``legacy_h5``). Because the legacy ``pred`` dataset is the
+            diff alone, the streaming path then ships only
+            ``diff = alt - ref`` off the device — half the wire of the
+            full diff/ref/alt contract on this fetch-bound path
+            (~2x throughput over a relay link).
         distribute: in a multi-process (``jax.distributed``) run, each host
             computes a contiguous variant row range, writes shard h5s, and
             process 0 merges them after a barrier — bit-identical to the
@@ -438,6 +462,8 @@ def compute_variant_chromatin_effects(
             Requires ``output_dir``; ``keep_arrays`` stays host-local (each
             process keeps only its own rows — see docs/ARCHITECTURE.md).
     """
+    if legacy_only:
+        legacy_h5 = True
     shifts = variant_shifts(maxshift)
     n = vcf.shape[0]
     chroms = vcf.iloc[:, 0].astype(str).values
@@ -515,6 +541,7 @@ def compute_variant_chromatin_effects(
             np.asarray(alts), shifts, maxshift, inputsize, span_ok,
             output_dir, output_prefix, legacy_h5,
             (lambda p: dist.shard_path(p)) if distributed else (lambda p: p),
+            legacy_only=legacy_only,
         )
         if distributed:
             dist.barrier("chromatin.shards_written")
@@ -566,9 +593,10 @@ def compute_variant_chromatin_effects(
     for shift in shifts:
         ref_rows, alt_rows, diff = per_shift[shift]
         if output_dir is not None:
-            path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
-            h5_paths.append(path)
-            write_shift_h5(dist.shard_path(path) if distributed else path, diff, ref_rows, alt_rows)
+            if not legacy_only:
+                path = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.diff.h5")
+                h5_paths.append(path)
+                write_shift_h5(dist.shard_path(path) if distributed else path, diff, ref_rows, alt_rows)
             if legacy_h5:
                 lpath = os.path.join(output_dir, f"{output_prefix}.shift_{shift}.legacy.diff.h5")
                 h5_paths.append(lpath)

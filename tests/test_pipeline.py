@@ -125,6 +125,53 @@ class TestStreamingH5:
                         )
 
 
+class TestLegacyOnly:
+    def test_legacy_only_halves_wire_same_pred(self, tiny_genome, runner, tmp_path):
+        """--legacy_only writes ONLY the original-ExPecto 'pred' h5s (the
+        bundled example's format) via the diff-only wire — the pred values
+        must equal the full-contract run's, and no diff/ref/alt files may
+        appear. Mixed rows included (the window-fallback row rides the
+        normal path and writes its diff as pred)."""
+        fa, contigs = tiny_genome
+        c1 = contigs["chr1"]
+        comp = {"A": "T", "C": "G", "G": "C", "T": "A"}
+        rows = [
+            ["chr1", 6000, ".", c1[5999], comp[c1[5999]]],           # sub
+            ["chr1", 12000, ".", c1[11999], c1[11999] + "AG"],       # insertion
+            ["chr1", 900, ".", c1[899], comp[c1[899]]],              # edge -> window fallback
+        ]
+        vcf = pd.DataFrame(rows)
+        full_dir, legacy_dir = tmp_path / "full", tmp_path / "legacy"
+        compute_variant_chromatin_effects(
+            vcf, fa, runner, full_dir, maxshift=200, legacy_h5=True, verbose=False
+        )
+        res = compute_variant_chromatin_effects(
+            vcf, fa, runner, legacy_dir, maxshift=200, legacy_only=True, verbose=False
+        )
+        for shift in res.shifts:
+            assert not (legacy_dir / f"snps.shift_{shift}.diff.h5").exists()
+            suffix = f"snps.shift_{shift}.legacy.diff.h5"
+            with h5py.File(full_dir / suffix) as ff, h5py.File(legacy_dir / suffix) as fl:
+                assert list(fl.keys()) == ["pred"]
+                np.testing.assert_allclose(
+                    np.asarray(fl["pred"]), np.asarray(ff["pred"]), atol=2e-6, err_msg=suffix
+                )
+
+    def test_diff_only_kernel_matches_pair_diff(self, runner):
+        """The diff-only wire equals the pair-diff kernel's diff exactly in
+        fp32 parity mode (same forward, same on-device differencing)."""
+        rng = np.random.default_rng(61)
+        maxshift = 200
+        offsets = tuple(s + maxshift for s in [0, -200, 200])
+        span_len = 2 * maxshift + 2000
+        ref = rng.integers(0, 4, size=(3, span_len)).astype(np.int8)
+        alt = ref.copy()
+        alt[:, maxshift + 999] = (alt[:, maxshift + 999] + 1) % 4
+        _, _, want = runner.predict_span_pairs_diff(ref, alt, offsets)
+        got = runner.predict_span_pair_diffs_only(ref, alt, offsets)
+        np.testing.assert_allclose(got, want, atol=2e-6)
+
+
 class TestDuckTypedRunner:
     def test_window_path_accepts_minimal_predict_codes_runner(self, tiny_genome, tiny_vcf):
         """The window path must keep the minimal duck-typed runner contract
