@@ -536,11 +536,13 @@ class BelugaRunner:
     #: ~25-40 MB/s on ONE stream but up to ~60 MB/s aggregate on concurrent
     #: fetches (scripts/probe_relay.py); fetch-bound paths (full-track h5
     #: contract, consensus cohorts) gain ~1.5x from overlapping fetches.
-    #: THREE workers (r5 measurement): although raw 2-stream fetch gains
-    #: nothing from a third stream, a worker also does the fp32 cast + h5
-    #: write after its fetch — the third worker keeps two fetches in flight
-    #: during those windows (+11% on the h5 contract in a degraded phase,
-    #: 151->167 v/s vs a 204 v/s phase ceiling).
+    #: THREE workers (r5): a worker also does the fp32 cast + h5 write
+    #: after its fetch, so a third worker keeps two fetches in flight
+    #: during those windows. Interleaved A/B vs 2 workers measured
+    #: parity-to-slightly-better (medians 187.1 vs 186.2 v/s, best 196.1
+    #: vs 194.2; an early sequential measurement's +11% was phase noise) —
+    #: kept at 3 because the cast/write cover is free and can only matter
+    #: more on faster links.
     FETCH_WORKERS = 3
 
     def _run_pipelined(self, jobs, write):
